@@ -1,0 +1,329 @@
+"""System: a DAG of components evaluated feed-forward over a batch axis.
+
+API mirrors the amisc ``System`` surface the reference scripts depend on (SURVEY.md
+§2.4): construction from YAML, ``sample_inputs``, ``predict``, ``fit``, ``clear``,
+``get_allocation``, ``train_history``, ``graph``, ``coupling_vars``, save/load.
+
+TPU-first redesign: components are batched jittable functions, so ``predict`` is a
+single feed-forward sweep over ``(batch, ...)`` arrays — the reference's executor
+fan-out of one subprocess per sample (``gen_data.py:448-460``) is replaced by
+``vmap`` inside each model and (optionally) ``shard_map`` over a device mesh via
+``hallthrusterpem_tpu.parallel``.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Any, Iterable, Optional, Sequence
+
+import numpy as np
+
+from hallthrusterpem_tpu.core.component import Component
+from hallthrusterpem_tpu.core.dataset import Dataset
+from hallthrusterpem_tpu.core.variables import Variable
+
+__all__ = ["System"]
+
+
+class _Graph:
+    """Minimal DAG view with the ``graph.nodes[name]['exo_in']`` surface the
+    reference analysis scripts use (``monte_carlo.py:220``, ``sobol.py:25-28``)."""
+
+    def __init__(self):
+        self.nodes: dict[str, dict] = {}
+        self.edges: list[tuple[str, str]] = []
+
+
+class System:
+    def __init__(self, components: Sequence[Component], name: str = "System", root_dir: Optional[str] = None):
+        self.components: list[Component] = list(components)
+        self.name = name
+        self.root_dir = Path(root_dir) if root_dir else None
+        self.train_history: list[dict] = []
+        self.logger = logging.getLogger(f"hallthrusterpem_tpu.{name}")
+        self._link_variables()
+        self._topo_sort()
+        self._build_graph()
+
+    # ------------------------------------------------------------------ structure
+    def _link_variables(self):
+        """Unify variables by name across components: a bare ``- name: X`` reference
+        inherits the first full definition (reference YAML convention, e.g.
+        ``pem_v0_SPT-100.yml:111-112`` re-using Cathode's P_b/V_a in Thruster)."""
+        registry: dict[str, Variable] = {}
+        for comp in self.components:
+            for vlist in (comp.inputs, comp.outputs):
+                for i, var in enumerate(vlist):
+                    existing = registry.get(var.name)
+                    is_bare = not (
+                        var.description or var.category or var.tex or var.units
+                        or var.nominal is not None or var.domain is not None
+                        or var.distribution is not None or var.norm or var.compression
+                    )
+                    if existing is not None and is_bare:
+                        vlist[i] = existing
+                    else:
+                        registry[var.name] = vlist[i]
+        self._variables = registry
+
+    def _topo_sort(self):
+        produced = {}
+        for comp in self.components:
+            for out in comp.output_names():
+                produced[out] = comp.name
+        order: list[Component] = []
+        remaining = list(self.components)
+        resolved: set[str] = set()
+        while remaining:
+            progressed = False
+            for comp in list(remaining):
+                deps = {produced[n] for n in comp.input_names() if n in produced and produced[n] != comp.name}
+                if deps.issubset({c.name for c in order}):
+                    order.append(comp)
+                    remaining.remove(comp)
+                    resolved |= set(comp.output_names())
+                    progressed = True
+            if not progressed:
+                raise ValueError(f"Cyclic or unresolvable component dependencies among {[c.name for c in remaining]}")
+        self.components = order
+
+    def _build_graph(self):
+        g = _Graph()
+        produced = {}
+        for comp in self.components:
+            for out in comp.output_names():
+                produced[out] = comp.name
+        exo_names = [v.name for v in self.inputs()]
+        for comp in self.components:
+            exo_in = [exo_names.index(n) for n in comp.input_names() if n in exo_names]
+            g.nodes[comp.name] = {"exo_in": exo_in, "component": comp}
+            for n in comp.input_names():
+                if n in produced and produced[n] != comp.name:
+                    g.edges.append((produced[n], comp.name))
+        self.graph = g
+
+    # ------------------------------------------------------------------ accessors
+    def __getitem__(self, comp_name: str) -> Component:
+        for comp in self.components:
+            if comp.name == comp_name:
+                return comp
+        raise KeyError(comp_name)
+
+    def inputs(self) -> list[Variable]:
+        """Exogenous inputs: component inputs not produced by any component."""
+        produced = set()
+        for comp in self.components:
+            produced |= set(comp.output_names())
+        seen, out = set(), []
+        for comp in self.components:
+            for var in comp.inputs:
+                if var.name not in produced and var.name not in seen:
+                    seen.add(var.name)
+                    out.append(var)
+        return out
+
+    def outputs(self) -> list[Variable]:
+        seen, out = set(), []
+        for comp in self.components:
+            for var in comp.outputs:
+                if var.name not in seen:
+                    seen.add(var.name)
+                    out.append(var)
+        return out
+
+    @property
+    def coupling_vars(self) -> list[Variable]:
+        """Variables produced by one component and consumed by another
+        (reference ``monte_carlo.py:213``, ``mcmc.py:43``)."""
+        consumed = set()
+        for comp in self.components:
+            consumed |= set(comp.input_names())
+        return [v for v in self.outputs() if v.name in consumed]
+
+    @property
+    def variables(self) -> dict[str, Variable]:
+        return dict(self._variables)
+
+    # legacy aliases (reference mcmc.py:235, monte_carlo.py:31)
+    @property
+    def exo_vars(self) -> list[Variable]:
+        return self.inputs()
+
+    @property
+    def x_vars(self) -> list[Variable]:
+        return self.inputs()
+
+    # ------------------------------------------------------------------ sampling
+    def sample_inputs(
+        self,
+        shape,
+        key=None,
+        seed: int = 0,
+        normalize: bool = False,
+        use_pdf: Iterable[str] | bool = (),
+        nominal: Optional[dict] = None,
+        constants: Iterable[str] = (),
+    ) -> Dataset:
+        """Sample the exogenous inputs (reference semantics at ``gen_data.py:238``
+        and the legacy nominal/constants form at ``mcmc.py:64``).
+
+        :param shape: leading sample shape (int or tuple)
+        :param use_pdf: categories whose variables sample from their distribution
+            pdf (others sample uniformly over their domain); True = all
+        :param nominal: per-variable nominal overrides (pins Relative() centers and
+            the values used for ``constants``)
+        :param constants: categories (or variable names) frozen at their nominal
+        :param normalize: return values in normalized space
+        """
+        import jax
+
+        if key is None:
+            key = jax.random.PRNGKey(seed)
+        if isinstance(shape, int):
+            shape = (shape,)
+        nominal = nominal or {}
+        use_pdf = set(self._category_set(use_pdf))
+        constants = set(self._category_set(constants))
+
+        samples: Dataset = {}
+        variables = self.inputs()
+        keys = jax.random.split(key, max(len(variables), 1))
+        for var, k in zip(variables, keys):
+            nom = nominal.get(var.name, var.nominal)
+            if var.category in constants or var.name in constants:
+                if nom is None:
+                    raise ValueError(f"Variable {var.name} frozen as constant but has no nominal")
+                value = jax.numpy.full(shape, float(nom))
+            elif var.category in use_pdf or var.name in use_pdf:
+                value = var.sample(k, shape, nominal=nom)
+            else:
+                value = var.sample_domain(k, shape)
+            samples[var.name] = var.normalize(value) if normalize else value
+        return samples
+
+    def _category_set(self, spec) -> set:
+        if spec is True:
+            return {v.category for v in self.inputs()} | {v.name for v in self.inputs()}
+        if isinstance(spec, str):
+            return {spec}
+        return set(spec or ())
+
+    # ------------------------------------------------------------------ prediction
+    def predict(
+        self,
+        samples: Dataset,
+        use_model: Optional[str] = None,
+        normalized: bool = False,
+        model_dir=None,
+        executor=None,
+        verbose: bool = False,
+        training: bool = False,
+        qoi_ind: Optional[Sequence[str]] = None,
+        ppool=None,
+        **kwargs,
+    ) -> Dataset:
+        """Feed-forward coupled prediction over a batch of input samples.
+
+        :param samples: dataset keyed by exogenous-input name, common leading shape
+        :param use_model: ``'best'``/``'truth'`` to run the true models; ``None``
+            to use trained surrogates where available (reference ``gen_data.py:239``
+            vs ``mcmc.py:65``)
+        :param normalized: whether ``samples`` are in normalized space
+        :param qoi_ind: restrict returned outputs to these names (plus coords)
+        """
+        data: Dataset = {}
+        variables = self._variables
+        for name, value in samples.items():
+            var = variables.get(name)
+            data[name] = var.denormalize(value) if (normalized and var is not None) else value
+
+        for comp in self.components:
+            batch = {n: data[n] for n in comp.input_names() if n in data}
+            missing = [n for n in comp.input_names() if n not in data]
+            if missing:
+                raise KeyError(f"Component {comp.name} missing inputs {missing}")
+            if verbose:
+                self.logger.info("Evaluating component %s ...", comp.name)
+            if use_model is None and comp.surrogate is not None:
+                out = comp.surrogate.predict(batch, training=training)
+            else:
+                out = comp.call_model(batch)
+            for k, v in out.items():
+                data[k] = v
+
+        if qoi_ind is not None:
+            keep = set(qoi_ind)
+            keep |= {f"{q}_coords" for q in qoi_ind}
+            return {k: v for k, v in data.items() if k in keep}
+        return data
+
+    def __call__(self, samples: Dataset, **kwargs) -> Dataset:
+        return self.predict(samples, **kwargs)
+
+    # ------------------------------------------------------------------ training
+    def fit(self, **kwargs):
+        """Adaptive multi-fidelity surrogate training (reference ``fit_surr.py:111-116``).
+        Implemented in :mod:`hallthrusterpem_tpu.surrogate.train`."""
+        from hallthrusterpem_tpu.surrogate.train import fit_system
+
+        return fit_system(self, **kwargs)
+
+    def clear(self):
+        """Drop all trained surrogate state (reference ``fit_surr.py:144``)."""
+        for comp in self.components:
+            comp.surrogate = None
+        self.train_history = []
+
+    def get_allocation(self):
+        """Cost-allocation accounting: ``(cost_alloc, model_cost, overhead_cost,
+        model_evals)`` (reference ``fit_surr.py:119,153``)."""
+        cost_alloc: dict[str, dict] = {}
+        model_cost = 0.0
+        model_evals: dict[str, dict] = {}
+        for comp in self.components:
+            cost_alloc[comp.name] = {}
+            model_evals[comp.name] = {}
+            for alpha, (n, total) in comp.model_costs.items():
+                cost_alloc[comp.name][alpha] = total
+                model_evals[comp.name][alpha] = n
+                model_cost += total
+        overhead = sum(h.get("overhead_s", 0.0) for h in self.train_history)
+        return cost_alloc, model_cost, overhead, model_evals
+
+    # ------------------------------------------------------------------ io
+    def set_logger(self, stdout: bool = False, level=logging.INFO):
+        self.logger.setLevel(level)
+        if stdout and not any(isinstance(h, logging.StreamHandler) for h in self.logger.handlers):
+            handler = logging.StreamHandler()
+            handler.setFormatter(logging.Formatter("%(asctime)s %(name)s %(levelname)s: %(message)s"))
+            self.logger.addHandler(handler)
+
+    def save_to_file(self, filename: str, save_dir=None):
+        from hallthrusterpem_tpu.core.yaml_loader import save_system
+
+        save_dir = Path(save_dir) if save_dir else (self.root_dir or Path("."))
+        save_dir.mkdir(parents=True, exist_ok=True)
+        path = save_dir / filename
+        save_system(self, path)
+        return path
+
+    @staticmethod
+    def load_from_file(path, root_dir=None) -> "System":
+        from hallthrusterpem_tpu.core.yaml_loader import load_system
+
+        system = load_system(path)
+        if root_dir is not None:
+            system.root_dir = Path(root_dir)
+        return system
+
+    # ------------------------------------------------------------------ plotting (thin)
+    def plot_slice(self, *args, **kwargs):
+        from hallthrusterpem_tpu.viz import plot_slice
+
+        return plot_slice(self, *args, **kwargs)
+
+    def plot_allocation(self, *args, **kwargs):
+        from hallthrusterpem_tpu.viz import plot_allocation
+
+        return plot_allocation(self, *args, **kwargs)

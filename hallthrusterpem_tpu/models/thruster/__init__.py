@@ -1,0 +1,302 @@
+"""Thruster component: batched in-process 1-D Hall discharge solver.
+
+Public API mirrors the reference wrapper (``src/hallmd/models/thruster.py:281-512``):
+``run_simulation`` (≙ ``run_hallthruster_jl`` — same input-tree schema, but no
+subprocess/JSON/tempfile machinery) and ``hallthruster_jl`` (the PEM component).
+One call evaluates an entire batch of operating conditions in a single jitted,
+``vmap``-ed solve; failed samples surface as NaN rows instead of raised exceptions
+(mask semantics — SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import copy
+import json
+import time
+from pathlib import Path
+from typing import Callable, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from hallthrusterpem_tpu.core.dataset import Dataset
+from hallthrusterpem_tpu.models.thruster.config import Geometry, SolverConfig, make_params
+from hallthrusterpem_tpu.models.thruster.mapping import (
+    PEM_TO_JULIA,
+    convert_to_pem,
+    default_model_fidelity,
+    format_input_tree,
+)
+from hallthrusterpem_tpu.models.thruster.solver import simulate_batch
+from hallthrusterpem_tpu.ops.interp import interp1d
+
+__all__ = [
+    "hallthruster_jl",
+    "run_simulation",
+    "run_hallthruster_jl",
+    "PEM_TO_JULIA",
+    "SolverConfig",
+    "simulate_batch",
+]
+
+
+def _load_bfield(thr: dict, cfg: SolverConfig) -> np.ndarray:
+    """Magnetic-field profile on solver cell centers from a device dict."""
+    z_cells = cfg.cell_centers()
+    mf = (thr or {}).get("magnetic_field", {})
+    file = mf.get("file")
+    if file and Path(str(file)).exists():
+        raw = np.genfromtxt(str(file), delimiter=",", skip_header=1)
+        if raw.ndim == 1 or raw.shape[1] < 2:  # maybe headerless
+            raw = np.genfromtxt(str(file), delimiter=",")
+        zb, Bb = raw[:, 0], raw[:, 1]
+        return np.asarray(interp1d(z_cells, zb, Bb))
+    # fallback: representative Gaussian profile peaked at the channel exit
+    z_ch = cfg.geometry.channel_length
+    s = np.where(z_cells < z_ch, 0.011, 0.018)
+    return 0.016 * np.exp(-0.5 * ((z_cells - z_ch) / s) ** 2)
+
+
+def _tree_to_solver_inputs(tree: dict):
+    """Split the input tree into (static SolverConfig, per-sample params, base B)."""
+    config = tree.get("config", {})
+    sim = tree.get("simulation", {})
+    post = tree.get("postprocess", {})
+    thr = config.get("thruster", {}) or {}
+
+    geom_d = thr.get("geometry", {})
+    geometry = Geometry(
+        channel_length=float(geom_d.get("channel_length", 0.025)),
+        inner_radius=float(geom_d.get("inner_radius", 0.0345)),
+        outer_radius=float(geom_d.get("outer_radius", 0.05)),
+    )
+    domain = config.get("domain", (0.0, 0.08))
+    duration = float(sim.get("duration", 1e-3))
+
+    anom = config.get("anom_model", {}) or {}
+    shift = "none"
+    inner = anom
+    if anom.get("type") in ("LogisticPressureShift", "SimpleLogisticShift"):
+        shift = anom["type"]
+        inner = anom.get("model", {}) or {}
+    anom_type = inner.get("type", "TwoZoneBohm")
+
+    cfg = SolverConfig(
+        num_cells=int(sim.get("grid", {}).get("num_cells", 100)),
+        ncharge=int(config.get("ncharge", 1)),
+        domain=(float(domain[0]), float(domain[1])),
+        geometry=geometry,
+        propellant=str(config.get("propellant", "Xenon")),
+        dt=float(np.min(np.asarray(sim.get("dt", 5e-9)))),
+        duration=duration,
+        average_start_time=float(post.get("average_start_time", 0.5 * duration)),
+        anom_model=anom_type,
+        pressure_shift=shift,
+        ion_wall_losses=bool(config.get("ion_wall_losses", True)),
+        apply_thrust_divergence_correction=bool(config.get("apply_thrust_divergence_correction", False)),
+    )
+
+    overrides = {}
+
+    def grab(name, *path, default=None):
+        node = config
+        for key in path[:-1]:
+            node = node.get(key, {}) if isinstance(node, dict) else {}
+        val = node.get(path[-1]) if isinstance(node, dict) else None
+        if val is not None:
+            overrides[name] = val
+        elif default is not None:
+            overrides[name] = default
+
+    grab("V_d", "discharge_voltage")
+    grab("V_cc", "cathode_coupling_voltage")
+    grab("mdot_a", "anode_mass_flow_rate")
+    grab("P_b", "background_pressure_Torr")
+    grab("T_e_cath", "cathode_Tev")
+    grab("u_n", "neutral_velocity")
+    grab("l_t", "transition_length")
+    grab("f_n", "neutral_ingestion_multiplier")
+    grab("B_hat", "magnetic_field_scale")
+    wl = config.get("wall_loss_model", {}) or {}
+    if wl.get("loss_scale") is not None:
+        overrides["c_w"] = wl["loss_scale"]
+    for src, dst in (("c1", "a1"), ("c2", "a2"), ("hall_min", "hall_min"),
+                     ("hall_max", "hall_max"), ("center", "center"), ("width", "width")):
+        if inner.get(src) is not None:
+            overrides[dst] = inner[src]
+    for src, dst in (("dz", "shift_dz"), ("z0", "shift_z0"), ("pstar", "shift_pstar"),
+                     ("alpha", "shift_alpha"), ("shift_length", "shift_dz")):
+        if anom.get(src) is not None:
+            overrides[dst] = anom[src]
+
+    params = make_params(overrides)
+    base_B = _load_bfield(thr, cfg)
+    return cfg, params, base_B
+
+
+def run_simulation(json_input: dict, **_compat) -> dict:
+    """Run the discharge solver from a reference-format input tree
+    (``{'config': ..., 'simulation': ..., 'postprocess': ...}``) and return a
+    reference-format output tree (``{'output': {'average': ...}, ...}``).
+
+    Drop-in for the reference's ``HallThruster.run_simulation`` JSON round-trip
+    (``thruster.py:281-375``) — but in-process, jitted, and batched: any config
+    value may be a (batch,) array.
+    """
+    if not isinstance(json_input, dict):
+        with open(json_input, "r", encoding="utf-8") as fd:
+            json_input = json.load(fd)
+
+    cfg, params, base_B = _tree_to_solver_inputs(json_input)
+
+    batch_shape = np.broadcast_shapes(*[np.shape(v) for v in params.values()])
+    scalar_in = batch_shape == ()
+    if scalar_in:
+        params = {k: jnp.reshape(v, (1,)) for k, v in params.items()}
+
+    raw = simulate_batch(params, jnp.asarray(base_B, jnp.float32), cfg)
+    raw = {k: np.asarray(v) for k, v in raw.items()}
+    if scalar_in:
+        raw = {k: v[0] for k, v in raw.items()}
+
+    z_axis = 0 if scalar_in else 1
+    batch = raw["thrust"].shape
+    z_b = np.broadcast_to(raw["z"], batch + (cfg.nc,)) if not scalar_in else raw["z"]
+
+    average = {
+        "thrust": raw["thrust"],
+        "discharge_current": raw["discharge_current"],
+        "discharge_current_std": raw["discharge_current_std"],
+        "ion_current": raw["ion_current"],
+        "current_eff": raw["current_eff"],
+        "mass_eff": raw["mass_eff"],
+        "voltage_eff": raw["voltage_eff"],
+        "anode_eff": raw["anode_eff"],
+        # ui[Z] is the (batch, NC) velocity profile of charge state Z+1
+        "ui": [np.take(raw["ui"], zi, axis=z_axis) for zi in range(cfg.ncharge)],
+        "z": z_b,
+        "nu_anom": raw["nu_anom"],
+        "B": raw["B"],
+        "Tev": raw["Tev"],
+        "ne": raw["ne"],
+        "nn": raw["nn"],
+        "potential": raw["potential"],
+        "E": raw["E"],
+    }
+    output_tree = {
+        "output": {"average": average},
+        "config": json_input.get("config", {}),
+        "simulation": json_input.get("simulation", {}),
+        "postprocess": json_input.get("postprocess", {}),
+    }
+
+    if out_file := json_input.get("postprocess", {}).get("output_file"):
+        _write_output_json(out_file, output_tree)
+    return output_tree
+
+
+# alias for API parity with the reference wrapper name
+run_hallthruster_jl = run_simulation
+
+
+def _write_output_json(path, tree: dict):
+    def _tolist(x):
+        if isinstance(x, dict):
+            return {k: _tolist(v) for k, v in x.items()}
+        if isinstance(x, (list, tuple)):
+            return [_tolist(v) for v in x]
+        if isinstance(x, (np.ndarray, jnp.ndarray)):
+            return np.asarray(x).tolist()
+        if isinstance(x, (np.floating, np.integer)):
+            return x.item()
+        return x
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w", encoding="utf-8") as fd:
+        json.dump({k: _tolist(v) for k, v in tree.items()}, fd)
+
+
+def hallthruster_jl(
+    thruster_inputs: Optional[Dataset] = None,
+    thruster="SPT-100",
+    config: Optional[dict] = None,
+    simulation: Optional[dict] = None,
+    postprocess: Optional[dict] = None,
+    model_fidelity: tuple = (2, 2),
+    output_path: Optional[str] = None,
+    version: Optional[str] = None,  # accepted for config parity; no Julia here
+    pem_to_julia: Optional[dict] = None,
+    fidelity_function: Optional[Callable] = None,
+    julia_script=None,  # accepted for API parity; unused
+    run_kwargs: Optional[dict] = None,  # accepted for API parity; unused
+    shock_threshold: Optional[float] = None,
+) -> Dataset:
+    """PEM thruster component: batched 1-D Hall discharge simulation.
+
+    Call-signature parity with reference ``hallmd.models.thruster.hallthruster_jl``
+    (``thruster.py:378-512``), with batch-first semantics: every entry of
+    ``thruster_inputs`` may be a (batch,) array, and the whole batch is solved in
+    one jitted ``vmap``-ed call. Non-physical samples (negative thrust/beam
+    current, reference ``thruster.py:490-494``) and "shock-like" ion-velocity
+    profiles (``thruster.py:496-502``) are returned as NaN rows rather than raised.
+    """
+    if pem_to_julia is None:
+        _map = copy.deepcopy(PEM_TO_JULIA)
+    else:
+        _map = copy.deepcopy(PEM_TO_JULIA)
+        _map.update(pem_to_julia)
+
+    thruster_inputs = dict(thruster_inputs or {})
+    tree = format_input_tree(
+        thruster_inputs,
+        _map,
+        thruster=thruster,
+        config=config,
+        simulation=simulation,
+        postprocess=postprocess,
+        model_fidelity=model_fidelity,
+        fidelity_function=fidelity_function,
+    )
+
+    if output_path is not None:
+        fname = "hallthruster_jl"
+        if name := tree["config"].get("thruster", {}).get("name"):
+            fname += f"_{name}"
+        fname += f"_{int(time.time() * 1e6) % 2**31:x}.json"
+        tree["postprocess"]["output_file"] = str((Path(output_path) / fname).resolve())
+
+    t1 = time.time()
+    sim_results = run_simulation(tree)
+    t2 = time.time()
+
+    outputs = convert_to_pem(sim_results, _map)
+    outputs = {k: np.asarray(v) for k, v in outputs.items()}
+
+    # failure masks (NaN-row semantics replacing the reference's raises)
+    thrust = outputs.get("T", np.zeros(()))
+    beam = outputs.get("I_B0", np.zeros(()))
+    bad = (np.asarray(thrust) < 0) | (np.asarray(beam) < 0)
+    if shock_threshold is not None and "u_ion" in outputs:
+        z = outputs["u_ion_coords"]
+        ui = outputs["u_ion"]
+        zmax = np.take_along_axis(
+            np.broadcast_to(z, ui.shape), np.argmax(ui, axis=-1, keepdims=True), axis=-1
+        )[..., 0]
+        bad = bad | (zmax < shock_threshold)
+    bad = ~np.isfinite(np.asarray(thrust)) | bad
+    bad = np.asarray(bad)
+    if np.any(bad):
+        for key, val in outputs.items():
+            val = np.asarray(val, dtype=float)
+            mask = bad.reshape(bad.shape + (1,) * (val.ndim - bad.ndim))
+            outputs[key] = np.where(np.broadcast_to(mask, val.shape), np.nan, val)
+
+    batch_n = max(int(np.prod(np.shape(thrust))), 1)
+    outputs["model_cost"] = np.full(np.shape(thrust), (t2 - t1) / batch_n)
+
+    if output_path is not None:
+        out_file = Path(tree["postprocess"]["output_file"])
+        outputs["output_path"] = out_file.relative_to(Path(output_path).resolve()).as_posix()
+
+    outputs["thruster_output"] = sim_results
+    return outputs

@@ -1,0 +1,175 @@
+"""Static configuration for the 1-D Hall discharge solver.
+
+Split follows the XLA compilation model: everything that determines *shapes or
+control flow* lives in the frozen, hashable :class:`SolverConfig` (one compile per
+distinct config); everything that can vary per sample is a batched entry in the
+params dict built by :func:`make_params` (one jitted solve serves any batch).
+
+The config surface mirrors what the reference exposes of HallThruster.jl
+(``scripts/pem_v0/pem_v0_SPT-100.yml:66-104`` and ``src/hallmd/models/pem_to_julia.json``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from hallthrusterpem_tpu.constants import BOLTZMANN_CONSTANT, atomic_mass_kg
+
+__all__ = ["Geometry", "SolverConfig", "make_params", "PARAM_NAMES"]
+
+
+@dataclass(frozen=True)
+class Geometry:
+    channel_length: float = 0.025  # m
+    inner_radius: float = 0.0345  # m
+    outer_radius: float = 0.05  # m
+
+    @property
+    def channel_area(self) -> float:
+        return float(np.pi * (self.outer_radius**2 - self.inner_radius**2))
+
+    @property
+    def channel_gap(self) -> float:
+        return self.outer_radius - self.inner_radius
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Hashable static solver configuration (shapes + compile-time switches)."""
+
+    num_cells: int = 100
+    ncharge: int = 1
+    domain: tuple[float, float] = (0.0, 0.08)
+    geometry: Geometry = Geometry()
+    propellant: str = "Xenon"
+    dt: float = 5e-9
+    duration: float = 1e-3
+    average_start_time: float = 5e-4
+    anom_model: str = "TwoZoneBohm"  # or "GaussianBohm"
+    pressure_shift: str = "none"  # or "LogisticPressureShift" | "SimpleLogisticShift"
+    ion_wall_losses: bool = True
+    electron_wall_losses: bool = True
+    apply_thrust_divergence_correction: bool = False
+    neutral_temp_K: float = 500.0
+    ion_temp_K: float = 1000.0
+    background_temp_K: float = 150.0
+    Te_min: float = 0.5  # eV floor
+    Te_max: float = 150.0  # eV ceiling (guards rate-table range)
+    anode_Te: float = 2.0  # eV Dirichlet BC
+    mdot_bohm_fraction: float = 1.0  # anode sheath Bohm-speed limiter scale
+    dtype: str = "float32"
+
+    @property
+    def nc(self) -> int:
+        """Total cells including the two ghost/boundary cells (the reference's
+        observable grid size, ``tests/test_thruster.py:185-186``)."""
+        return self.num_cells + 2
+
+    @property
+    def dz(self) -> float:
+        return (self.domain[1] - self.domain[0]) / self.num_cells
+
+    @property
+    def mi(self) -> float:
+        return atomic_mass_kg(self.propellant)
+
+    @property
+    def num_steps(self) -> int:
+        return max(1, int(round(self.duration / self.dt)))
+
+    @property
+    def avg_start_step(self) -> int:
+        return min(self.num_steps - 1, int(round(self.average_start_time / self.dt)))
+
+    def cell_centers(self) -> np.ndarray:
+        """NC cell-center coordinates with boundary points at the domain edges
+        (matches HallThruster.jl's output ``z`` grid of num_cells+2 points)."""
+        z0, z1 = self.domain
+        interior = z0 + (np.arange(self.num_cells) + 0.5) * self.dz
+        return np.concatenate([[z0], interior, [z1]])
+
+
+#: per-sample parameter names (each becomes a batched scalar array)
+PARAM_NAMES = (
+    "V_d",        # discharge (anode) voltage [V]
+    "V_cc",       # cathode coupling voltage [V]
+    "mdot_a",     # anode mass flow rate [kg/s]
+    "P_b",        # background pressure [Torr]
+    "T_e_cath",   # cathode electron temperature BC [eV]
+    "u_n",        # neutral velocity [m/s]
+    "l_t",        # two-zone transition length [m]
+    "a1",         # anomalous coeff inside channel (TwoZoneBohm c1)
+    "a2",         # anomalous coeff outside channel (TwoZoneBohm c2, absolute)
+    "hall_min",   # GaussianBohm trough coefficient
+    "hall_max",   # GaussianBohm background coefficient
+    "center",     # GaussianBohm center [m]
+    "width",      # GaussianBohm width [m]
+    "shift_dz",   # pressure-shift displacement [channel lengths]
+    "shift_z0",   # pressure-shift upstream limit [channel lengths]
+    "shift_pstar",  # pressure-shift turning pressure [Torr]
+    "shift_alpha",  # pressure-shift logistic steepness [-]
+    "f_n",        # neutral ingestion multiplier [-]
+    "c_w",        # wall loss scale [-]
+    "B_hat",      # magnetic field scale [-]
+)
+
+_DEFAULTS = {
+    "V_d": 300.0,
+    "V_cc": 0.0,
+    "mdot_a": 5e-6,
+    "P_b": 0.0,
+    "T_e_cath": 3.0,
+    "u_n": 300.0,
+    "l_t": 0.003,
+    "a1": 0.00625,
+    "a2": 0.0625,
+    "hall_min": 0.00625,
+    "hall_max": 0.0625,
+    "center": 0.025,
+    "width": 0.005,
+    "shift_dz": 0.2,
+    "shift_z0": 0.0,
+    "shift_pstar": 45.0e-6,
+    "shift_alpha": 15.0,
+    "f_n": 1.0,
+    "c_w": 1.0,
+    "B_hat": 1.0,
+}
+
+
+def make_params(overrides: Optional[dict] = None, batch_shape: tuple = ()) -> dict:
+    """Build the full per-sample parameter dict, broadcasting defaults.
+
+    :param overrides: name -> scalar or (batch,) array
+    :param batch_shape: common batch shape (inferred from overrides if empty)
+    """
+    import jax.numpy as jnp
+
+    overrides = dict(overrides or {})
+    unknown = set(overrides) - set(PARAM_NAMES)
+    if unknown:
+        raise KeyError(f"Unknown solver parameters: {sorted(unknown)}")
+    if not batch_shape:
+        for v in overrides.values():
+            batch_shape = np.broadcast_shapes(batch_shape, np.shape(v))
+    params = {}
+    for name in PARAM_NAMES:
+        val = overrides.get(name, _DEFAULTS[name])
+        params[name] = jnp.broadcast_to(jnp.asarray(val, dtype=jnp.float32), batch_shape)
+    return params
+
+
+def background_neutral_ingestion_flux(P_b_torr, f_n, cfg: SolverConfig):
+    """Effusion mass-flux of facility background neutrals through the exit plane,
+    kg/s (added to the anode flow; models HallThruster.jl's
+    ``neutral_ingestion_multiplier`` config, ``pem_to_julia.json:22``)."""
+    import jax.numpy as jnp
+
+    from hallthrusterpem_tpu.constants import TORR_2_PA
+
+    P = jnp.asarray(P_b_torr) * TORR_2_PA
+    flux = P * jnp.sqrt(cfg.mi / (2 * np.pi * BOLTZMANN_CONSTANT * cfg.background_temp_K))
+    return f_n * flux * cfg.geometry.channel_area

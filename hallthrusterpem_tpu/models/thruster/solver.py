@@ -1,0 +1,401 @@
+"""1-D finite-volume Hall-thruster discharge solver — from scratch, TPU-native.
+
+Replaces the reference's out-of-process HallThruster.jl solve
+(``src/hallmd/models/thruster.py:281-375``) with an in-process jittable simulation:
+
+* heavy species (neutrals + up to 3 ion charge states) with upwind/HLLE fluxes,
+  isothermal EOS, explicit time stepping;
+* electron-impact ionization/excitation from Maxwellian-averaged rate tables
+  (:mod:`.rates`), anomalous transport (TwoZoneBohm / GaussianBohm + pressure
+  shifts), wall losses;
+* quasineutral drift-diffusion electrons: the potential solve is a *direct
+  integral* of the generalized Ohm's law (no linear system — two reductions and
+  elementwise ops), the electron energy equation is backward-Euler implicit via a
+  batched parallel-cyclic-reduction tridiagonal solve (:mod:`...ops.tridiag`);
+* time integration as one ``lax.scan`` with static shapes; time-averaged QoIs
+  accumulated in the carry (HallThruster.jl's ``average_start_time`` postprocess,
+  reference ``thruster.py:236-238``).
+
+Design notes (TPU): everything in the step body is elementwise over the (batch,
+cells) plane or a log2(N) reduction — no data-dependent shapes, no host syncs.
+Batch parallelism via ``vmap`` (thousands of operating conditions per chip);
+multi-chip via ``shard_map`` over the batch axis (see ``parallel/``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hallthrusterpem_tpu.constants import (
+    BOLTZMANN_CONSTANT,
+    ELECTRON_MASS,
+    FUNDAMENTAL_CHARGE,
+    TORR_2_PA,
+)
+from hallthrusterpem_tpu.models.thruster.config import (
+    SolverConfig,
+    background_neutral_ingestion_flux,
+)
+from hallthrusterpem_tpu.models.thruster.rates import (
+    K_EN,
+    build_reactions,
+    excitation_table,
+    lookup_rate,
+)
+from hallthrusterpem_tpu.ops.tridiag import tridiag_solve
+
+_E = FUNDAMENTAL_CHARGE
+_ME = ELECTRON_MASS
+_KB = BOLTZMANN_CONSTANT
+
+
+# ======================================================================================
+# anomalous transport profiles (static in time, per-sample)
+# ======================================================================================
+def _pressure_shift_m(p, cfg: SolverConfig, z_ch: float):
+    """Axial shift (m) of the anomalous-transport profile vs background pressure.
+
+    LogisticPressureShift (reference ``pem_v0_SPT-100.yml:76-85``): parameters
+    ``shift_z0`` (upstream limit, channel lengths), ``shift_dz`` (total swing,
+    channel lengths), ``shift_pstar`` (Torr), ``shift_alpha`` (steepness); the
+    profile moves upstream (toward the anode) as pressure rises.
+    """
+    if cfg.pressure_shift == "none":
+        return jnp.zeros(())
+    P = p["P_b"]  # Torr
+    sig = jax.nn.sigmoid(p["shift_alpha"] * (P / p["shift_pstar"] - 1.0))
+    if cfg.pressure_shift == "SimpleLogisticShift":
+        return p["shift_dz"] * (1.0 - sig) * z_ch
+    return (p["shift_z0"] + p["shift_dz"] * (1.0 - sig)) * z_ch
+
+
+def anomalous_profile(p, z, cfg: SolverConfig):
+    """Dimensionless anomalous collision coefficient alpha(z) (nu_anom = alpha * w_ce)."""
+    z_ch = cfg.geometry.channel_length
+    shift = _pressure_shift_m(p, cfg, z_ch)
+    if cfg.anom_model == "GaussianBohm":
+        zc = p["center"] + shift
+        return p["hall_max"] + (p["hall_min"] - p["hall_max"]) * jnp.exp(
+            -0.5 * ((z - zc) / jnp.maximum(p["width"], 1e-4)) ** 2
+        )
+    # TwoZoneBohm with smooth transition of length l_t at the (shifted) channel exit
+    z_tr = z_ch + shift
+    w = 0.5 * (1.0 + jnp.tanh(2.0 * (z - z_tr) / jnp.maximum(p["l_t"], 1e-4)))
+    return p["a1"] + (p["a2"] - p["a1"]) * w
+
+
+# ======================================================================================
+# single-sample simulation (vmapped over the batch by simulate_batch)
+# ======================================================================================
+def make_step(p: dict, base_B, cfg: SolverConfig):
+    """Expose (step_fn, initial_carry) for testing/debugging a single sample."""
+    return _simulate_one(p, base_B, cfg, _return_step=True)
+
+
+def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step: bool = False):
+    f = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    NC = cfg.nc
+    N = cfg.num_cells
+    Z = cfg.ncharge
+    dz = cfg.dz
+    dt = jnp.asarray(cfg.dt, f)
+    mi = cfg.mi
+    A_ch = cfg.geometry.channel_area
+    gap = cfg.geometry.channel_gap
+    z = jnp.asarray(cfg.cell_centers(), f)
+    zq = jnp.arange(1, Z + 1, dtype=f)  # charge numbers
+
+    p = {k: jnp.asarray(v, f) for k, v in p.items()}
+    B = jnp.asarray(base_B, f) * p["B_hat"]
+    omega_ce = _E * B / _ME
+
+    # static-in-time per-sample profiles
+    alpha_anom = anomalous_profile(p, z, cfg)
+    nu_anom = alpha_anom * omega_ce
+    in_channel = (z <= cfg.geometry.channel_length).astype(f)
+
+    # thermal speeds / EOS
+    a_i = float(np.sqrt(_KB * cfg.ion_temp_K / mi))  # isothermal ion sound-ish speed
+    Ti_eV = _KB * cfg.ion_temp_K / _E
+
+    # anode inflow (+ facility background ingestion)
+    mdot_in = p["mdot_a"] + background_neutral_ingestion_flux(p["P_b"], p["f_n"], cfg)
+    u_n = jnp.maximum(p["u_n"], 10.0)
+    rho_inj = mdot_in / (A_ch * u_n)
+
+    # reaction bookkeeping (static; tables as jnp constants)
+    reactions = build_reactions(cfg.propellant, Z)
+    rxn_tables = [jnp.asarray(np.asarray(r.table), f) for r in reactions]
+    ex_table_np, ex_energy = excitation_table(cfg.propellant)
+    ex_table = jnp.asarray(ex_table_np, f)
+    k_en = K_EN.get(cfg.propellant, 2.5e-13)
+
+    rho_floor = jnp.asarray(1e10 * mi, f)  # ~1e10 m^-3 vacuum floor
+    ne_floor = jnp.asarray(1e12, f)
+
+    dV = p["V_d"] - p["V_cc"]
+
+    # ---------------------------------------------------------------- initial state
+    # Seed the physical discharge attractor (dense ionization hump at the channel
+    # exit, warm exit electrons, Bohm presheath toward the anode) — a cold/uniform
+    # start can relax into a non-physical anode-starved double layer instead.
+    z_ch = cfg.geometry.channel_length
+    L = cfg.domain[1] - cfg.domain[0]
+    rho_n0 = jnp.full((NC,), 1.0, f) * rho_inj
+    n_i0 = 2e17 + 1e18 * jnp.exp(-(((z - z_ch) / (0.3 * z_ch)) ** 2))
+    rho_i0 = jnp.tile((n_i0 * mi)[None, :], (Z, 1)) * (0.25 ** jnp.arange(Z, dtype=f)[:, None])
+    u_bohm0 = jnp.sqrt(_E * 3.0 / mi)
+    u_exit0 = jnp.sqrt(2.0 * _E * jnp.maximum(dV, 50.0) / mi)
+    frac = jnp.clip((z - 0.5 * z_ch) / (L - 0.5 * z_ch), 0.0, 1.0)
+    u_i0 = jnp.tile((-u_bohm0 * (1.0 - frac) + u_exit0 * frac**2)[None, :], (Z, 1))
+    mom_i0 = rho_i0 * u_i0
+    ne0 = jnp.sum(zq[:, None] * rho_i0 / mi, axis=0)
+    Te0 = 3.0 + 0.04 * jnp.maximum(dV, 50.0) * jnp.exp(-(((z - z_ch) / (0.4 * z_ch)) ** 2))
+    nE0 = 1.5 * ne0 * Te0
+
+    state0 = (rho_n0, rho_i0, mom_i0, nE0)
+
+    # ---------------------------------------------------------------- step function
+    def step(carry, _):
+        (rho_n, rho_i, mom_i, nE), accum, i = carry
+
+        # ---- plasma properties
+        ni = rho_i / mi
+        ne = jnp.maximum(jnp.sum(zq[:, None] * ni, axis=0), ne_floor)
+        Te = jnp.clip((2.0 / 3.0) * nE / ne, cfg.Te_min, cfg.Te_max)
+        nn = jnp.maximum(rho_n / mi, 1e6)
+        u_i = mom_i / jnp.maximum(rho_i, rho_floor)
+
+        # ---- collision frequencies & cross-field mobility
+        lnL = jnp.clip(23.0 - 0.5 * jnp.log(ne * 1e-6) + 1.5 * jnp.log(Te), 2.0, 30.0)
+        nu_ei = 2.9e-12 * ne * lnL / Te**1.5
+        nu_en = k_en * nn
+        nu_ew = cfg.electron_wall_losses * p["c_w"] * 1e7 * in_channel
+        nu_e = nu_en + nu_ei + nu_anom + nu_ew
+        Omega2 = (omega_ce / nu_e) ** 2
+        mu = (_E / (_ME * nu_e)) / (1.0 + Omega2)
+
+        # ---- Ohm's-law potential sweep (direct integration, no linear solve)
+        j_i = _E * jnp.sum(zq[:, None] * ni * u_i, axis=0)
+        pe = ne * Te  # eV * m^-3 ; gradient below is in V/m
+        grad_pe = jnp.gradient(pe) / dz
+        enmu = _E * ne * mu
+        num_igd = j_i / enmu + grad_pe / ne
+        den_igd = 1.0 / enmu
+        # midpoint integration over interior cells
+        num_int = jnp.sum(num_igd[1:-1]) * dz
+        den_int = jnp.sum(den_igd[1:-1]) * dz
+        j_d = (dV + num_int) / den_int
+        E_z = (j_d - j_i) / enmu - grad_pe / ne
+        u_e = -(j_d - j_i) / (_E * ne)
+
+        # ---- heavy-species boundary (ghost) states
+        u_bohm = jnp.sqrt(zq * _E * Te[1] / mi)  # (Z,)
+        mom_back = jnp.sum(jnp.minimum(mom_i[:, 1], 0.0))  # ion mass flux into anode
+        rho_n_l = (mdot_in / A_ch - mom_back) / u_n
+        rho_n_b = rho_n.at[0].set(rho_n_l).at[-1].set(rho_n[-2])
+
+        rho_gl = rho_i[:, 1]
+        u_gl = jnp.minimum(u_i[:, 1], -cfg.mdot_bohm_fraction * u_bohm)
+        rho_i_b = jnp.concatenate([rho_gl[:, None], rho_i[:, 1:-1], rho_i[:, -2:-1]], axis=1)
+        mom_i_b = jnp.concatenate(
+            [(rho_gl * u_gl)[:, None], mom_i[:, 1:-1], mom_i[:, -2:-1]], axis=1
+        )
+
+        # ---- fluxes (NC-1 faces)
+        Fn = u_n * rho_n_b[:-1]  # neutral upwind (u_n > 0)
+
+        rL, rR = rho_i_b[:, :-1], rho_i_b[:, 1:]
+        mL, mR = mom_i_b[:, :-1], mom_i_b[:, 1:]
+        uL = mL / jnp.maximum(rL, rho_floor)
+        uR = mR / jnp.maximum(rR, rho_floor)
+        pL, pR = rL * a_i * a_i, rR * a_i * a_i
+        sL = jnp.minimum(jnp.minimum(uL - a_i, uR - a_i), 0.0)
+        sR = jnp.maximum(jnp.maximum(uL + a_i, uR + a_i), 0.0)
+        FrL, FrR = mL, mR
+        FmL, FmR = mL * uL + pL, mR * uR + pR
+        ds = jnp.maximum(sR - sL, 1e-8)
+        Fr = (sR * FrL - sL * FrR + sL * sR * (rR - rL)) / ds
+        Fm = (sR * FmL - sL * FmR + sL * sR * (mR - mL)) / ds
+
+        # ---- conservative update (interior cells) + sources
+        def ddz(F):
+            return (F[..., 1:] - F[..., :-1]) / dz
+
+        rho_n_new = rho_n_b.at[1:-1].add(-dt * ddz(Fn))
+        rho_i_new = rho_i_b.at[:, 1:-1].add(-dt * ddz(Fr))
+        mom_i_new = mom_i_b.at[:, 1:-1].add(-dt * ddz(Fm))
+
+        # ionization source terms (static unroll over <= 6 reactions)
+        inelastic = jnp.zeros((NC,), f)
+        d_rho_n = jnp.zeros((NC,), f)
+        d_rho = jnp.zeros((Z, NC), f)
+        d_mom = jnp.zeros((Z, NC), f)
+        for r, table in zip(reactions, rxn_tables):
+            k_r = lookup_rate(table, Te)
+            n_from = nn if r.z_from == 0 else ni[r.z_from - 1]
+            u_from = u_n if r.z_from == 0 else u_i[r.z_from - 1]
+            R = (ne * k_r) * n_from  # events / m^3 s (this product order is
+            # float32-safe: ne*n_from alone can exceed 3.4e38)
+            dm = R * mi
+            if r.z_from == 0:
+                d_rho_n = d_rho_n - dm
+            else:
+                d_rho = d_rho.at[r.z_from - 1].add(-dm)
+                d_mom = d_mom.at[r.z_from - 1].add(-dm * u_from)
+            d_rho = d_rho.at[r.z_to - 1].add(dm)
+            d_mom = d_mom.at[r.z_to - 1].add(dm * u_from)
+            inelastic = inelastic + R * r.energy_eV
+
+        # excitation losses
+        k_ex = lookup_rate(ex_table, Te)
+        inelastic = inelastic + (ne * k_ex) * nn * ex_energy
+
+        # electric-field acceleration
+        d_mom = d_mom + zq[:, None] * _E * ni * E_z  # force density Z e n_i E
+
+        # ion wall losses inside the channel (lost ions recombine to slow neutrals)
+        if cfg.ion_wall_losses:
+            u_bohm_z = jnp.sqrt(zq[:, None] * _E * Te[None, :] / mi)
+            nu_iw = 0.6 * u_bohm_z / gap * in_channel[None, :]
+            d_rho = d_rho - nu_iw * rho_i
+            d_mom = d_mom - nu_iw * mom_i
+            d_rho_n = d_rho_n + jnp.sum(nu_iw * rho_i, axis=0)
+
+        rho_n_new = rho_n_new.at[1:-1].add(dt * d_rho_n[1:-1])
+        rho_i_new = rho_i_new.at[:, 1:-1].add(dt * d_rho[:, 1:-1])
+        mom_i_new = mom_i_new.at[:, 1:-1].add(dt * d_mom[:, 1:-1])
+
+        rho_n_new = jnp.maximum(rho_n_new, rho_floor)
+        rho_i_new = jnp.maximum(rho_i_new, rho_floor)
+
+        # ---- electron energy: backward-Euler implicit in Te, PCR tridiagonal solve.
+        # Solving for Te (not the energy density) keeps the matrix free of 1/n
+        # ratios across steep density gradients — essential for float32 stability.
+        ne_new = jnp.maximum(jnp.sum(zq[:, None] * rho_i_new / mi, axis=0), ne_floor)
+        Te_bc_l = jnp.asarray(cfg.anode_Te, f)
+        Te_bc_r = p["T_e_cath"]
+
+        # electron particle flux from current continuity (no density floors needed)
+        Gamma_e = -(j_d - j_i) / _E  # n_e u_e at centers
+        G_f = 0.5 * (Gamma_e[:-1] + Gamma_e[1:])  # (NC-1,) faces
+        kappa_f = (10.0 / 9.0) * 0.5 * ((mu * ne * Te)[:-1] + (mu * ne * Te)[1:])
+        kf = kappa_f / dz
+        Gp = (5.0 / 2.0) * jnp.maximum(G_f, 0.0)
+        Gn = (5.0 / 2.0) * jnp.minimum(G_f, 0.0)
+
+        # rows for interior cells i=1..NC-2 ; face f- = i-1, f+ = i
+        fm = slice(0, NC - 2)
+        fp = slice(1, NC - 1)
+        nu_eps = cfg.electron_wall_losses * p["c_w"] * 1e7 * jnp.exp(-20.0 / Te) * in_channel
+        n_c = ne_new[1:-1]
+        sub = (-Gp[fm] - kf[fm]) / dz
+        sup = (Gn[fp] - kf[fp]) / dz
+        diag = 1.5 * n_c / dt + (Gp[fp] - Gn[fm] + kf[fp] + kf[fm]) / dz + nu_eps[1:-1] * 1.5 * n_c
+        q_ohm = (j_d - j_i) * E_z / _E
+        rhs = nE[1:-1] / dt + q_ohm[1:-1] - inelastic[1:-1]
+        rhs = rhs.at[0].add(-sub[0] * Te_bc_l)
+        rhs = rhs.at[-1].add(-sup[-1] * Te_bc_r)
+        sub = sub.at[0].set(0.0)
+        sup = sup.at[-1].set(0.0)
+        Te_int = tridiag_solve(sub, diag, sup, rhs)
+        Te_new = jnp.concatenate([Te_bc_l[None], Te_int, Te_bc_r[None]])
+        Te_new = jnp.clip(Te_new, cfg.Te_min, cfg.Te_max)
+        nE_new = 1.5 * ne_new * Te_new
+
+        # ---- instantaneous QoIs & running averages
+        exit_ix = NC - 2
+        u_exit = mom_i_new[:, exit_ix] / jnp.maximum(rho_i_new[:, exit_ix], rho_floor)
+        thrust = A_ch * jnp.sum(mom_i_new[:, exit_ix] * u_exit + rho_i_new[:, exit_ix] * a_i**2)
+        I_d = j_d * A_ch
+        I_B0 = A_ch * _E * jnp.sum(zq * rho_i_new[:, exit_ix] / mi * u_exit)
+        mdot_ion = A_ch * jnp.sum(mom_i_new[:, exit_ix])
+
+        w_avg = (i >= cfg.avg_start_step).astype(f)
+        ui_prof = mom_i_new / jnp.maximum(rho_i_new, rho_floor)
+        new_accum = {
+            "thrust": accum["thrust"] + w_avg * thrust,
+            "I_d": accum["I_d"] + w_avg * I_d,
+            "I_d2": accum["I_d2"] + w_avg * I_d * I_d,
+            "I_B0": accum["I_B0"] + w_avg * I_B0,
+            "mdot_ion": accum["mdot_ion"] + w_avg * mdot_ion,
+            "u_exit1": accum["u_exit1"] + w_avg * u_exit[0],
+            "ui": accum["ui"] + w_avg * ui_prof,
+            "Te": accum["Te"] + w_avg * Te,
+            "ne": accum["ne"] + w_avg * ne,
+            "E": accum["E"] + w_avg * E_z,
+            "nn": accum["nn"] + w_avg * nn,
+        }
+        return ((rho_n_new, rho_i_new, mom_i_new, nE_new), new_accum, i + 1), None
+
+    accum0 = {
+        "thrust": jnp.zeros((), f),
+        "I_d": jnp.zeros((), f),
+        "I_d2": jnp.zeros((), f),
+        "I_B0": jnp.zeros((), f),
+        "mdot_ion": jnp.zeros((), f),
+        "u_exit1": jnp.zeros((), f),
+        "ui": jnp.zeros((Z, NC), f),
+        "Te": jnp.zeros((NC,), f),
+        "ne": jnp.zeros((NC,), f),
+        "E": jnp.zeros((NC,), f),
+        "nn": jnp.zeros((NC,), f),
+    }
+
+    if _return_step:
+        return step, (state0, accum0, jnp.zeros((), jnp.int32))
+
+    (state_f, accum, _), _ = jax.lax.scan(
+        step, (state0, accum0, jnp.zeros((), jnp.int32)), None, length=cfg.num_steps
+    )
+
+    n_avg = jnp.asarray(max(cfg.num_steps - cfg.avg_start_step, 1), f)
+    avg = {k: v / n_avg for k, v in accum.items()}
+
+    thrust = avg["thrust"]
+    I_d = avg["I_d"]
+    I_B0 = avg["I_B0"]
+    eta_c = I_B0 / I_d
+    eta_m = avg["mdot_ion"] / p["mdot_a"]
+    eta_v = avg["u_exit1"] ** 2 * mi / (2 * _E * jnp.maximum(p["V_d"], 1.0))
+    eta_a = thrust**2 / (2 * p["mdot_a"] * jnp.maximum(I_d * p["V_d"], 1e-6))
+
+    # time-averaged potential from the averaged field
+    E_avg = avg["E"]
+    phi = p["V_d"] - jnp.concatenate([jnp.zeros((1,), f), jnp.cumsum(0.5 * (E_avg[1:] + E_avg[:-1]) * dz)])
+
+    return {
+        "thrust": thrust,
+        "discharge_current": I_d,
+        "discharge_current_std": jnp.sqrt(jnp.maximum(avg["I_d2"] - I_d**2, 0.0)),
+        "ion_current": I_B0,
+        "current_eff": eta_c,
+        "mass_eff": eta_m,
+        "voltage_eff": eta_v,
+        "anode_eff": eta_a,
+        "ui": avg["ui"],  # (ncharge, NC) time-averaged ion velocities
+        "z": z,
+        "Tev": avg["Te"],
+        "ne": avg["ne"],
+        "nn": avg["nn"],
+        "potential": phi,
+        "E": E_avg,
+        "nu_anom": nu_anom,
+        "B": B,
+    }
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def simulate_batch(params: dict, base_B, cfg: SolverConfig) -> dict:
+    """Run the discharge solver for a batch of parameter sets.
+
+    :param params: dict of (batch,) arrays (see ``config.PARAM_NAMES``)
+    :param base_B: (NC,) unscaled magnetic-field profile on cell centers [T]
+    :param cfg: static solver configuration
+    :returns: dict of (batch, ...) time-averaged outputs
+    """
+    return jax.vmap(lambda q: _simulate_one(q, base_B, cfg))(params)
