@@ -77,7 +77,10 @@ def convert_to_config(pem_data: dict, tree: dict, pem_to_julia: dict) -> None:
             elif isinstance(pointer, list) and len(pointer) <= key:
                 pointer.extend({} if next_is_str else [] for _ in range(key - len(pointer) + 1))
             pointer = pointer[key]
-        pointer[path[-1]] = value
+        last = path[-1]
+        if isinstance(pointer, list) and isinstance(last, int) and len(pointer) <= last:
+            pointer.extend(None for _ in range(last - len(pointer) + 1))
+        pointer[last] = value
 
 
 def convert_to_pem(tree: dict, pem_to_julia: dict) -> dict:

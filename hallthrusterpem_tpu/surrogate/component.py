@@ -1,0 +1,301 @@
+"""Per-component adaptive multi-fidelity sparse-grid surrogate.
+
+The amisc-equivalent core (SURVEY.md §2.4): nested Leja tensor grids per
+``(alpha, beta)`` multi-index, MISC combination over a downward-closed active set,
+cost-aware greedy refinement driven by hierarchical-surplus error indicators.
+Model evaluations are *batched* through the component's jittable model (the
+reference fans one subprocess per grid point instead — ``fit_surr.py`` ★ hot loop,
+SURVEY.md §3.3); evaluations are cached per model fidelity so nested grids reuse
+every previous point.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from hallthrusterpem_tpu.core.dataset import Dataset
+from hallthrusterpem_tpu.surrogate.interpolate import TensorInterpolant, tensor_grid_points
+from hallthrusterpem_tpu.surrogate.knots import knots_for_level
+from hallthrusterpem_tpu.surrogate.misc import (
+    candidate_neighbors,
+    combination_coefficients,
+    combine_index,
+    split_index,
+)
+
+__all__ = ["ComponentSurrogate"]
+
+
+class ComponentSurrogate:
+    def __init__(self, component, knots_per_level: Optional[int] = None):
+        self.component = component
+        td = component.training_data or {}
+        if td.get("method", "sparse-grid") != "sparse-grid":
+            raise ValueError(f"Unsupported training_data method {td.get('method')!r}")
+        self.knots_per_level = int(knots_per_level or td.get("knots_per_level", 2))
+
+        self.inputs = list(component.inputs)
+        self.n_dim = len(self.inputs)
+        self.alpha_max = tuple(component.model_fidelity)
+        beta_max = tuple(component.data_fidelity)
+        if not beta_max:
+            beta_max = (2,) * self.n_dim
+        if len(beta_max) != self.n_dim:
+            raise ValueError(
+                f"data_fidelity has {len(beta_max)} dims but component {component.name} has {self.n_dim} inputs"
+            )
+        self.beta_max = beta_max
+        self.n_alpha = len(self.alpha_max)
+
+        # normalized input domains (surrogate space)
+        self.domains = []
+        for v in self.inputs:
+            dom = v.normalized_domain()
+            if dom is None:
+                raise ValueError(f"Variable {v.name} needs a domain/distribution for surrogate training")
+            self.domains.append(dom)
+
+        # output layout: list of (var, size) — scalars size 1, fields latent size r
+        self.outputs = list(component.outputs)
+        self._out_slices: list[tuple] = []  # (var, start, size, is_field)
+        self._layout_built = False
+
+        self.interpolants: dict[tuple, TensorInterpolant] = {}  # kappa -> interpolant
+        self.active: set = set()
+        self.candidates: set = set()
+        self.eval_cache: dict[tuple, dict[tuple, np.ndarray]] = {}  # alpha -> {point: out_vec}
+        self.misc_coeff: dict[tuple, int] = {}
+
+    # ------------------------------------------------------------------ layout
+    def _build_layout(self):
+        if self._layout_built:
+            return
+        start = 0
+        self._out_slices = []
+        for var in self.outputs:
+            if var.compression is not None and var.compression.projection is not None:
+                size = var.compression.latent_size
+                is_field = True
+            else:
+                size = 1
+                is_field = False
+            self._out_slices.append((var, start, size, is_field))
+            start += size
+        self.n_out = start
+        self._layout_built = True
+
+    # ------------------------------------------------------------------ grids
+    def knots_1d(self, beta: tuple) -> list[np.ndarray]:
+        return [
+            knots_for_level(b, self.knots_per_level, domain=self.domains[d])
+            for d, b in enumerate(beta)
+        ]
+
+    def _denormalize_points(self, pts: np.ndarray) -> Dataset:
+        """(N, d) normalized grid points -> model-unit input dict."""
+        out = {}
+        for d, var in enumerate(self.inputs):
+            out[var.name] = np.asarray(var.denormalize(pts[:, d]))
+        return out
+
+    def _pack_outputs(self, raw: Dataset, n: int) -> np.ndarray:
+        """Model outputs -> (N, n_out) normalized/compressed value matrix."""
+        self._build_layout()
+        cols = np.empty((n, self.n_out), dtype=np.float64)
+        for var, start, size, is_field in self._out_slices:
+            val = np.asarray(raw[var.name], dtype=np.float64)
+            if is_field:
+                # re-grid onto the compression coordinates when the model fidelity
+                # changed the output grid (the "{var}_coords" convention carries
+                # per-sample grids — SURVEY.md §5.7)
+                comp_coords = var.compression.coords
+                model_coords = raw.get(f"{var.name}_coords")
+                if (
+                    comp_coords is not None
+                    and model_coords is not None
+                    and val.shape[-1] != np.asarray(comp_coords).shape[-1]
+                ):
+                    from hallthrusterpem_tpu.ops.interp import interp1d
+
+                    mc = np.asarray(model_coords, dtype=np.float64)
+                    cc = np.asarray(comp_coords, dtype=np.float64)
+                    mc1 = mc[0] if mc.ndim > 1 else mc
+                    val = np.asarray(interp1d(cc, mc1, jnp.asarray(val)))
+                norm = np.asarray(var.normalize(val))
+                lat = np.asarray(var.compression.compress(jnp.asarray(norm)))
+                cols[:, start : start + size] = lat.reshape(n, size)
+            else:
+                norm = np.asarray(var.normalize(val))
+                cols[:, start : start + size] = norm.reshape(n, 1)
+        return cols
+
+    def unpack_outputs(self, mat, denormalize: bool = True) -> Dataset:
+        """(..., n_out) value matrix -> named outputs. Scalars are denormalized;
+        field outputs are returned as latent coefficient arrays (reconstruct with
+        :meth:`reconstruct_field`)."""
+        self._build_layout()
+        out: Dataset = {}
+        for var, start, size, is_field in self._out_slices:
+            block = mat[..., start : start + size]
+            if is_field:
+                out[var.name] = block  # latent coefficients (normalized space)
+            else:
+                scalar = block[..., 0]
+                out[var.name] = var.denormalize(scalar) if denormalize else scalar
+        return out
+
+    def reconstruct_field(self, var_name: str, latents):
+        """Latent coefficients -> denormalized field profile."""
+        for var, start, size, is_field in self._out_slices:
+            if var.name == var_name and is_field:
+                rec = var.compression.reconstruct(jnp.asarray(latents))
+                return var.denormalize(rec)
+        raise KeyError(f"{var_name} is not a field output of {self.component.name}")
+
+    # ------------------------------------------------------------------ training
+    def _point_key(self, pt: np.ndarray) -> tuple:
+        return tuple(np.round(np.asarray(pt, dtype=np.float64), 12))
+
+    def evaluate_points(self, alpha: tuple, pts: np.ndarray) -> tuple[np.ndarray, int]:
+        """Model values at (N, d) normalized points, via cache + one batched call
+        for the misses. Returns (values (N, n_out), num_new_evals)."""
+        cache = self.eval_cache.setdefault(alpha, {})
+        keys = [self._point_key(p) for p in pts]
+        missing = [i for i, k in enumerate(keys) if k not in cache]
+        if missing:
+            new_pts = pts[missing]
+            batch = self._denormalize_points(new_pts)
+            raw = self.component.call_model(batch, model_fidelity=alpha if alpha else None)
+            raw = {k: np.asarray(v) for k, v in raw.items()}
+            vals = self._pack_outputs(raw, len(missing))
+            # NaN repair: failed samples take the column median of valid rows
+            # (mask semantics, SURVEY.md §5.3 — interpolation needs every knot)
+            bad = ~np.isfinite(vals)
+            if bad.any():
+                med = np.nanmedian(np.where(np.isfinite(vals), vals, np.nan), axis=0)
+                med = np.where(np.isfinite(med), med, 0.0)
+                vals = np.where(bad, np.broadcast_to(med, vals.shape), vals)
+            for i, vi in zip(missing, vals):
+                cache[keys[i]] = vi
+        out = np.stack([cache[k] for k in keys], axis=0)
+        return out, len(missing)
+
+    def build_interpolant(self, kappa: tuple) -> tuple[TensorInterpolant, int]:
+        alpha, beta = split_index(kappa, self.n_alpha)
+        knots = self.knots_1d(beta)
+        pts = tensor_grid_points(knots)
+        vals, n_new = self.evaluate_points(alpha, pts)
+        shape = tuple(len(k) for k in knots) + (vals.shape[-1],)
+        interp = TensorInterpolant(knots=tuple(knots), values=vals.reshape(shape))
+        self.interpolants[kappa] = interp
+        return interp, n_new
+
+    def initialize(self) -> int:
+        """Activate the base index (all zeros). Returns number of model evals."""
+        kappa0 = (0,) * (self.n_alpha + self.n_dim)
+        _, n_new = self.build_interpolant(kappa0)
+        self.active.add(kappa0)
+        self._refresh_candidates()
+        self.misc_coeff = combination_coefficients(self.active)
+        return n_new
+
+    def _refresh_candidates(self):
+        max_levels = list(self.alpha_max) + list(self.beta_max)
+        self.candidates = candidate_neighbors(self.active, max_levels)
+
+    def candidate_surplus(self, kappa: tuple, num_refine: int = 256, rng=None) -> tuple[float, int, float]:
+        """Error indicator for activating ``kappa``: relative change of the
+        combined surrogate on random test points, per unit model cost.
+
+        Returns (error_indicator, num_new_evals, cost_seconds_estimate).
+        """
+        t0 = time.perf_counter()
+        if kappa not in self.interpolants:
+            _, n_new = self.build_interpolant(kappa)
+        else:
+            n_new = 0
+        rng = rng or np.random.default_rng(0)
+        x = np.stack(
+            [rng.uniform(lo, hi, num_refine) for (lo, hi) in self.domains], axis=-1
+        )
+        cur = self._combined_eval(x, self.active)
+        new = self._combined_eval(x, self.active | {kappa})
+        denom = np.maximum(np.linalg.norm(cur, axis=0), 1e-12)
+        err = float(np.mean(np.linalg.norm(new - cur, axis=0) / denom))
+        alpha, _ = split_index(kappa, self.n_alpha)
+        cost = max(n_new, 1) * self.component.get_cost(alpha)
+        _ = time.perf_counter() - t0
+        return err, n_new, cost
+
+    def activate_index(self, kappa: tuple):
+        if kappa not in self.interpolants:
+            self.build_interpolant(kappa)
+        self.active.add(kappa)
+        self.misc_coeff = combination_coefficients(self.active)
+        self._refresh_candidates()
+
+    # ------------------------------------------------------------------ prediction
+    def _combined_eval(self, x: np.ndarray, index_set) -> np.ndarray:
+        self._build_layout()
+        coeffs = combination_coefficients(index_set)
+        total = np.zeros((x.shape[0], self.n_out))
+        for kappa, c in coeffs.items():
+            total += c * np.asarray(self.interpolants[kappa](x))
+        return total
+
+    def predict(self, inputs: Dataset, training: bool = False, denormalize: bool = True) -> Dataset:
+        """Evaluate the surrogate on a batch of model-unit inputs.
+
+        :param training: use only the active set (the reference's ``training=True``
+            semantics at ``mcmc.py:65``); otherwise include candidate indices too.
+        """
+        names = [v.name for v in self.inputs]
+        cols = []
+        batch_shape = None
+        for v in self.inputs:
+            arr = jnp.asarray(inputs[v.name])
+            batch_shape = arr.shape if batch_shape is None else batch_shape
+            cols.append(jnp.ravel(v.normalize(arr)))
+        x = jnp.stack(cols, axis=-1)
+
+        index_set = self.active if training else (self.active | self.candidates_with_interp())
+        coeffs = combination_coefficients(index_set)
+        total = None
+        for kappa, c in coeffs.items():
+            val = self.interpolants[kappa](x) * c
+            total = val if total is None else total + val
+        total = total.reshape(batch_shape + (self.n_out,))
+        return self.unpack_outputs(total, denormalize=denormalize)
+
+    def candidates_with_interp(self) -> set:
+        return {k for k in self.candidates if k in self.interpolants}
+
+    # ------------------------------------------------------------------ persistence
+    def to_state(self) -> dict:
+        return {
+            "knots_per_level": self.knots_per_level,
+            "active": sorted(self.active),
+            "candidates": sorted(self.candidates),
+            "interp": {
+                k: {"knots": [np.asarray(q) for q in v.knots], "values": np.asarray(v.values)}
+                for k, v in self.interpolants.items()
+            },
+            "eval_cache": self.eval_cache,
+        }
+
+    @staticmethod
+    def from_state(state: dict, component) -> "ComponentSurrogate":
+        surr = ComponentSurrogate(component, knots_per_level=state["knots_per_level"])
+        surr.active = set(tuple(k) for k in state["active"])
+        surr.candidates = set(tuple(k) for k in state["candidates"])
+        for k, v in state["interp"].items():
+            surr.interpolants[tuple(k)] = TensorInterpolant(
+                knots=tuple(v["knots"]), values=v["values"]
+            )
+        surr.eval_cache = state.get("eval_cache", {})
+        surr.misc_coeff = combination_coefficients(surr.active)
+        return surr

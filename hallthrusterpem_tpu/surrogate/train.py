@@ -1,0 +1,160 @@
+"""Adaptive multi-fidelity surrogate training: the ``System.fit`` implementation.
+
+Greedy MISC refinement (SURVEY.md §3.3): each iteration scores every candidate
+``(component, alpha, beta)`` by hierarchical-surplus error indicator per unit model
+cost, activates the best one, records ``train_history``, and checkpoints — the
+kwargs surface mirrors the reference's ``system.fit`` call (``fit_surr.py:111-116``).
+Model evaluations run as batched jittable calls instead of subprocess fan-outs.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["fit_system", "relative_l2"]
+
+
+def relative_l2(pred, ref, axis=None) -> float:
+    pred = np.asarray(pred, dtype=np.float64)
+    ref = np.asarray(ref, dtype=np.float64)
+    mask = np.isfinite(ref) & np.isfinite(pred)
+    if not mask.any():
+        return float("nan")
+    diff = np.where(mask, pred - ref, 0.0)
+    den = np.sqrt(np.sum(np.where(mask, ref**2, 0.0), axis=axis))
+    num = np.sqrt(np.sum(diff**2, axis=axis))
+    return float(np.mean(num / np.maximum(den, 1e-30)))
+
+
+def _test_errors(system, test_set, targets) -> dict:
+    """Relative-L2 per target on a (samples, outputs) test set (the reference's
+    ``train_history`` test_error record, ``fit_surr.py:120-133``)."""
+    if test_set is None:
+        return {}
+    xt, yt = test_set if isinstance(test_set, tuple) else (test_set["xt"], test_set["yt"])
+    pred = system.predict(xt, use_model=None, training=True)
+    errors = {}
+    for target in targets or yt.keys():
+        if target not in yt or target not in pred:
+            continue
+        ref_val = np.asarray(yt[target], dtype=np.float64)
+        got = np.asarray(pred[target], dtype=np.float64)
+        # field outputs come back as latent coefficients: reconstruct
+        if got.shape != ref_val.shape:
+            for comp in system.components:
+                if comp.surrogate is None:
+                    continue
+                try:
+                    got = np.asarray(comp.surrogate.reconstruct_field(target, got))
+                    break
+                except KeyError:
+                    continue
+        if got.shape != ref_val.shape:
+            continue
+        errors[target] = relative_l2(got, ref_val, axis=-1 if ref_val.ndim > 1 else None)
+    return errors
+
+
+def fit_system(
+    system,
+    targets=None,
+    max_iter: int = 100,
+    max_tol: float = 1e-3,
+    runtime_hr: Optional[float] = None,
+    num_refine: int = 256,
+    test_set=None,
+    save_interval: int = 0,
+    cache_interval: int = 0,
+    estimate_bounds: bool = False,
+    update_bounds: bool = False,
+    executor=None,
+    weight_fcns=None,
+    plot_interval: int = 0,
+    verbose: bool = True,
+    seed: int = 0,
+):
+    """Adaptively refine all component surrogates. Returns ``system.train_history``.
+
+    Unused-but-accepted kwargs (``estimate_bounds``, ``update_bounds``,
+    ``weight_fcns``, ``plot_interval``, ``executor``, ``cache_interval``) keep
+    call-site parity with the reference (``fit_surr.py:266-270``); the executor is
+    unnecessary because model evals are single batched SPMD calls.
+    """
+    from hallthrusterpem_tpu.surrogate.component import ComponentSurrogate
+
+    rng = np.random.default_rng(seed)
+    t_start = time.time()
+
+    # initialize surrogates
+    for comp in system.components:
+        if comp.surrogate is None:
+            comp.surrogate = ComponentSurrogate(comp)
+            n0 = comp.surrogate.initialize()
+            if verbose:
+                system.logger.info("Initialized surrogate for %s (%d evals)", comp.name, n0)
+
+    def _checkpoint(i):
+        if system.root_dir is None:
+            return
+        save_dir = Path(system.root_dir) / "surrogates" / f"{system.name}_iter{i}"
+        save_dir.mkdir(parents=True, exist_ok=True)
+        system.save_to_file(f"{system.name}_iter{i}.yml", save_dir)
+
+    for iteration in range(int(max_iter)):
+        t_iter = time.perf_counter()
+        best = None  # (indicator, comp, kappa, err, n_new)
+        for comp in system.components:
+            surr = comp.surrogate
+            for kappa in sorted(surr.candidates):
+                err, n_new, cost = surr.candidate_surplus(kappa, num_refine=num_refine, rng=rng)
+                indicator = err / max(cost, 1e-9)
+                if best is None or indicator > best[0]:
+                    best = (indicator, comp, kappa, err, n_new)
+        if best is None:
+            if verbose:
+                system.logger.info("No candidates left; training converged structurally.")
+            break
+
+        _, comp, kappa, err, n_new = best
+        surr = comp.surrogate
+        alpha, beta = kappa[: surr.n_alpha], kappa[surr.n_alpha :]
+        surr.activate_index(kappa)
+        overhead = time.perf_counter() - t_iter
+
+        errors = _test_errors(system, test_set, targets)
+        record = {
+            "iteration": iteration,
+            "component": comp.name,
+            "alpha": tuple(alpha),
+            "beta": tuple(beta),
+            "error_indicator": err,
+            "num_evals": n_new,
+            "test_error": errors,
+            "overhead_s": overhead,
+        }
+        system.train_history.append(record)
+        if verbose:
+            system.logger.info(
+                "iter %d: activate %s alpha=%s beta=%s surplus=%.3e evals=%d test=%s",
+                iteration, comp.name, alpha, beta, err, n_new,
+                {k: f"{v:.3e}" for k, v in errors.items()},
+            )
+
+        if save_interval and (iteration + 1) % save_interval == 0:
+            _checkpoint(iteration + 1)
+
+        if errors and max(errors.values()) < max_tol:
+            if verbose:
+                system.logger.info("Converged: max test error %.3e < %.1e", max(errors.values()), max_tol)
+            break
+        if runtime_hr is not None and (time.time() - t_start) > runtime_hr * 3600:
+            if verbose:
+                system.logger.info("Runtime budget reached.")
+            break
+
+    _checkpoint(len(system.train_history))
+    return system.train_history

@@ -1,0 +1,164 @@
+"""Surrogate engine tests: knots, tensor interpolation, MISC sets, adaptive fit."""
+
+import numpy as np
+import pytest
+
+from hallthrusterpem_tpu.core.component import Component
+from hallthrusterpem_tpu.core.system import System
+from hallthrusterpem_tpu.core.variables import Variable
+from hallthrusterpem_tpu.surrogate import (
+    ComponentSurrogate,
+    TensorInterpolant,
+    candidate_neighbors,
+    combination_coefficients,
+    fit_system,
+    is_downward_closed,
+    knots_for_level,
+    leja_sequence,
+    relative_l2,
+    tensor_grid_points,
+)
+
+
+def test_leja_nested_and_bounded():
+    x5 = leja_sequence(5)
+    x9 = leja_sequence(9)
+    assert np.allclose(x9[:5], x5)  # nested
+    assert np.all(np.abs(x9) <= 1.0)
+    assert len(np.unique(np.round(x9, 10))) == 9
+
+
+def test_knots_for_level_mapping():
+    k = knots_for_level(2, knots_per_level=2, domain=(10.0, 20.0))
+    assert k.shape == (5,)
+    assert k.min() >= 10.0 and k.max() <= 20.0
+    k0 = knots_for_level(0, 2, domain=(10.0, 20.0))
+    assert k0.shape == (1,)
+
+
+def test_tensor_interpolant_polynomial_exactness():
+    # 5 knots per dim -> exact for polys up to degree 4 per dim
+    knots = (knots_for_level(2, 2, (-1, 1)), knots_for_level(2, 2, (0, 2)))
+    pts = tensor_grid_points(knots)
+    f = lambda x: (3 * x[..., 0] ** 3 - x[..., 0] + 0.5) * (x[..., 1] ** 2 + 1.0)
+    vals = f(pts)[:, None]
+    interp = TensorInterpolant(knots=knots, values=vals.reshape(5, 5, 1))
+    rng = np.random.default_rng(0)
+    xq = np.stack([rng.uniform(-1, 1, 200), rng.uniform(0, 2, 200)], axis=-1)
+    got = np.asarray(interp(xq))[:, 0]
+    assert np.max(np.abs(got - f(xq))) < 5e-4  # f32 eval
+    # exact at the nodes
+    got_nodes = np.asarray(interp(pts))[:, 0]
+    assert np.max(np.abs(got_nodes - f(pts))) < 1e-4
+
+
+def test_misc_sets():
+    active = {(0, 0), (1, 0), (0, 1)}
+    assert is_downward_closed(active)
+    assert not is_downward_closed({(0, 0), (2, 0)})
+    cands = candidate_neighbors(active, [2, 2])
+    assert (2, 0) in cands and (1, 1) in cands and (0, 2) in cands
+    coeffs = combination_coefficients(active)
+    # classic Smolyak: c(0,0) = -1, c(1,0) = c(0,1) = 1
+    assert coeffs == {(0, 0): -1, (1, 0): 1, (0, 1): 1}
+    # telescoping identity: sum of coefficients == 1
+    assert sum(coeffs.values()) == 1
+
+
+def _toy_component():
+    def model(inputs):
+        x = np.asarray(inputs["x"])
+        y = np.asarray(inputs["y"])
+        return {"f": np.sin(2 * x) * np.exp(-0.3 * y) + 0.1 * y, "g": x * y}
+
+    return Component(
+        name="Toy",
+        model=model,
+        inputs=[
+            Variable(name="x", domain=(-1.0, 1.0)),
+            Variable(name="y", domain=(0.0, 2.0)),
+        ],
+        outputs=[Variable(name="f"), Variable(name="g")],
+        data_fidelity=(3, 3),
+    )
+
+
+def test_component_surrogate_converges():
+    comp = _toy_component()
+    surr = ComponentSurrogate(comp)
+    surr.initialize()
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        best, best_err = None, -1.0
+        for kappa in sorted(surr.candidates):
+            err, _, cost = surr.candidate_surplus(kappa, num_refine=128, rng=rng)
+            if err / max(cost, 1e-9) > best_err:
+                best_err, best = err / max(cost, 1e-9), kappa
+        surr.activate_index(best)
+    xt = {"x": rng.uniform(-1, 1, 300), "y": rng.uniform(0, 2, 300)}
+    truth = comp.fn(xt)
+    pred = surr.predict(xt, training=True)
+    err_f = relative_l2(np.asarray(pred["f"]), truth["f"])
+    err_g = relative_l2(np.asarray(pred["g"]), truth["g"])
+    assert err_f < 0.01, err_f
+    assert err_g < 1e-3, err_g  # bilinear: exact once (1,1) activates
+
+
+def test_fit_system_and_history():
+    comp = _toy_component()
+    system = System([comp], name="toy-system")
+    rng = np.random.default_rng(1)
+    xt = {"x": rng.uniform(-1, 1, 200), "y": rng.uniform(0, 2, 200)}
+    yt = comp.fn(xt)
+    history = fit_system(system, max_iter=8, max_tol=1e-6, test_set=(xt, yt), verbose=False)
+    assert len(history) >= 1
+    errs = [h["test_error"]["f"] for h in history if "f" in h["test_error"]]
+    assert errs[-1] < 0.05
+    assert errs[-1] <= errs[0] * 1.5  # error broadly decreasing
+    # surrogate-backed System.predict
+    pred = system.predict(xt, use_model=None, training=True)
+    assert relative_l2(np.asarray(pred["f"]), yt["f"]) < 0.05
+    # allocation accounting has entries
+    alloc, model_cost, overhead, evals = system.get_allocation()
+    assert evals["Toy"]
+    # clear() drops surrogate state (reference fit_surr.py:144)
+    system.clear()
+    assert comp.surrogate is None
+
+
+def test_field_output_with_compression():
+    """Field outputs train on SVD latents and reconstruct (gen_data.py:261-294 flow)."""
+    zgrid = np.linspace(0, 1, 40)
+
+    def model(inputs):
+        x = np.asarray(inputs["x"])[..., None]
+        prof = np.sin(3 * zgrid)[None, :] * x + zgrid[None, :] ** 2
+        return {"prof": prof, "prof_coords": np.broadcast_to(zgrid, prof.shape)}
+
+    from hallthrusterpem_tpu.core.variables import Compression
+
+    var_out = Variable(name="prof", compression=Compression(reconstruction_tol=0.01))
+    comp = Component(
+        name="FieldToy",
+        model=model,
+        inputs=[Variable(name="x", domain=(-1.0, 1.0))],
+        outputs=[var_out],
+        data_fidelity=(3,),
+    )
+    # build the compression map from snapshots (the gen_data 'compression' stage)
+    rng = np.random.default_rng(0)
+    snaps = model({"x": rng.uniform(-1, 1, 50)})["prof"]
+    var_out.compression.coords = zgrid
+    var_out.compression.compute_map(snaps.T)
+    assert var_out.compression.latent_size <= 3
+
+    surr = ComponentSurrogate(comp)
+    surr.initialize()
+    for kappa in [(1,), (2,)]:
+        surr.activate_index(kappa)
+    x_test = {"x": rng.uniform(-1, 1, 64)}
+    pred = surr.predict(x_test, training=True)
+    rec = np.asarray(surr.reconstruct_field("prof", pred["prof"]))
+    truth = model(x_test)["prof"]
+    assert rec.shape == truth.shape
+    assert relative_l2(rec, truth, axis=-1) < 0.01

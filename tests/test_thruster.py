@@ -1,0 +1,144 @@
+"""Thruster solver + wrapper tests.
+
+Mirrors the reference's strategy (tests/test_thruster.py): translation-layer
+round-trip, output schema, grid-size contract (num_cells+2), physical ranges at
+SPT-100 300 V / 5 mg/s — but against the in-process solver (no Julia, no
+subprocess, no downloads)."""
+
+import numpy as np
+import pytest
+
+from hallthrusterpem_tpu.models.thruster import hallthruster_jl, run_simulation
+from hallthrusterpem_tpu.models.thruster.mapping import (
+    PEM_TO_JULIA,
+    convert_to_config,
+    convert_to_pem,
+    default_model_fidelity,
+)
+
+# fast-but-physical settings for CI: coarse grid, short duration
+FAST_SIM = {"dt": 8.0e-9, "grid": {"type": "EvenGrid", "num_cells": 60}, "duration": 1.2e-4}
+FAST_POST = {"average_start_time": 0.6e-4}
+
+
+def test_convert_roundtrip():
+    """Translation-layer parity (reference test_thruster.py:43-67), incl. blazing
+    new dict/list paths."""
+    mapping = dict(PEM_TO_JULIA)
+    mapping["new_var"] = ["config", "deep", "list", 2]
+    tree = {"config": {}, "simulation": {}, "postprocess": {}}
+    convert_to_config({"P_b": 1e-5, "V_a": 300.0, "new_var": 7.0}, tree, mapping)
+    assert tree["config"]["background_pressure_Torr"] == 1e-5
+    assert tree["config"]["discharge_voltage"] == 300.0
+    assert tree["config"]["deep"]["list"][2] == 7.0
+
+    out_tree = {"output": {"average": {"thrust": 0.08, "ui": [[1.0, 2.0]], "z": [0.0, 0.08]}}}
+    pem = convert_to_pem(out_tree, mapping)
+    assert pem["T"] == 0.08
+    assert pem["u_ion"] == [1.0, 2.0]
+    assert pem["u_ion_coords"] == [0.0, 0.08]
+    assert "P_b" not in pem  # inputs are not extracted
+
+
+def test_default_model_fidelity():
+    """ncells/ncharge/dt formulas are the observable multi-fidelity contract
+    (reference thruster.py:140-181)."""
+    cfgd = {"config": {"domain": [0, 0.08], "discharge_voltage": 300, "cathode_coupling_voltage": 0}}
+    out = default_model_fidelity((2, 2), cfgd)
+    assert out["num_cells"] == 200
+    assert out["ncharge"] == 3
+    out2 = default_model_fidelity((0, 0), cfgd)
+    assert out2["num_cells"] == 100
+    assert out2["ncharge"] == 1
+    assert out2["dt"] > out["dt"]  # fewer charge states -> slower ions -> larger dt
+
+
+@pytest.fixture(scope="module")
+def spt100_outputs():
+    inputs = {
+        "P_b": np.array([1e-5, 1e-5]),
+        "V_a": np.array([300.0, 300.0]),
+        "mdot_a": np.array([5.16e-6, 5.16e-6]),
+        "V_cc": np.array([30.0, 30.0]),
+    }
+    return hallthruster_jl(
+        inputs, thruster="SPT-100", config={"ncharge": 1}, simulation=FAST_SIM,
+        postprocess=FAST_POST, model_fidelity=None,
+    )
+
+
+def test_output_schema_and_grid(spt100_outputs):
+    out = spt100_outputs
+    for key in ("T", "I_d", "I_B0", "eta_c", "eta_m", "eta_v", "eta_a", "u_ion", "u_ion_coords", "model_cost"):
+        assert key in out, key
+    # grid contract: num_cells + 2 points (reference test_thruster.py:185-186)
+    assert out["u_ion"].shape == (2, 62)
+    assert out["u_ion_coords"].shape == (2, 62)
+    assert np.isclose(out["u_ion_coords"][0, 0], 0.0)
+    assert np.isclose(out["u_ion_coords"][0, -1], 0.08)
+
+
+def test_physical_ranges(spt100_outputs):
+    """SPT-100 300 V / 5.16 mg/s sanity ranges (reference test_thruster.py:187-189)."""
+    out = spt100_outputs
+    assert np.all((out["T"] > 0) & (out["T"] < 0.2))
+    assert np.all((out["I_B0"] > 0) & (out["I_B0"] < 10))
+    assert np.all((out["I_d"] > 0) & (out["I_d"] < 10))
+    assert np.all((out["eta_c"] > 0) & (out["eta_c"] <= 1.2))
+    assert np.all(out["u_ion"][:, -1] > 1e4)  # ions accelerated past 10 km/s
+    # identical inputs -> identical outputs (deterministic batch)
+    assert np.allclose(out["T"][0], out["T"][1], rtol=1e-5)
+
+
+def test_run_simulation_tree_api():
+    """run_simulation takes/returns reference-format trees (thruster.py:281-375)."""
+    tree = {
+        "config": {
+            "thruster": "SPT-100",
+            "discharge_voltage": 300,
+            "anode_mass_flow_rate": 5e-6,
+            "cathode_coupling_voltage": 30,
+            "ncharge": 1,
+        },
+        "simulation": FAST_SIM,
+        "postprocess": FAST_POST,
+    }
+    from hallthrusterpem_tpu.utils import load_thruster
+
+    tree["config"]["thruster"] = load_thruster("SPT-100")
+    out = run_simulation(tree)
+    avg = out["output"]["average"]
+    assert 0 < float(avg["thrust"]) < 0.2
+    assert len(avg["ui"]) == 1  # one charge state
+    assert avg["z"].shape[-1] == 62
+
+
+def test_shock_threshold_masks_nan():
+    """Shock-like profiles become NaN rows, not exceptions (reference raises at
+    thruster.py:496-502; batch semantics here are mask-based)."""
+    inputs = {
+        "P_b": np.array([1e-5]),
+        "V_a": np.array([300.0]),
+        "mdot_a": np.array([5e-6]),
+        "V_cc": np.array([30.0]),
+    }
+    out = hallthruster_jl(
+        inputs, thruster="SPT-100", config={"ncharge": 1}, simulation=FAST_SIM,
+        postprocess=FAST_POST, model_fidelity=None, shock_threshold=0.9,  # impossible: max u must be past z=0.9 m
+    )
+    assert np.isnan(out["T"]).all()
+    assert np.isnan(out["u_ion"]).all()
+
+
+def test_pem_to_julia_override():
+    """pem_to_julia kwarg extends the mapping (reference thruster.py:453-458)."""
+    inputs = {
+        "P_b": np.array([1e-5]), "V_a": np.array([300.0]), "mdot_a": np.array([5e-6]),
+        "V_cc": np.array([30.0]), "my_duration": 1.0e-4,
+    }
+    out = hallthruster_jl(
+        inputs, thruster="SPT-100", config={"ncharge": 1}, simulation=FAST_SIM,
+        postprocess=FAST_POST, model_fidelity=None,
+        pem_to_julia={"my_duration": ["simulation", "duration"]},
+    )
+    assert np.all(np.isfinite(out["T"]))
