@@ -107,6 +107,19 @@ class YamlLoader:
         return save_system(system, path)
 
 
+def find_latest_save(base) -> Path:
+    """Newest trained/iter/compression save under a config's directory tree
+    (the reference's timestamp-directory search convention,
+    ``fit_surr.py:209-233``, ``plot_slice.py:59-95``). Falls back to ``base``."""
+    base = Path(base)
+    root = base if base.is_dir() else base.parent
+    for pattern in ("*_trained.yml", "*_iter*.yml", "*_compression.yml"):
+        cands = sorted(root.rglob(pattern), key=lambda p: p.stat().st_mtime)
+        if cands:
+            return cands[-1]
+    return base
+
+
 def load_system(path) -> System:
     path = Path(path)
     with open(path, "r", encoding="utf-8") as fd:

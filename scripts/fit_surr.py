@@ -1,0 +1,104 @@
+"""Fit an adaptive multi-fidelity surrogate to a PEM system.
+
+Work-alike of the reference's ``scripts/fit_surr.py`` (search conventions at
+``fit_surr.py:209-233``, fit kwargs at ``fit_surr.py:111-116,266-271``): locate the
+newest compression YAML, load the pickled test set, run ``system.fit`` in multi-,
+single-, or both-fidelity modes, and report error-vs-cost.
+
+Usage: python fit_surr.py config.yml --search  (or a direct path to *_compression.yml)
+"""
+
+import argparse
+import pickle
+from pathlib import Path
+
+import numpy as np
+
+from hallthrusterpem_tpu.core.system import System
+
+parser = argparse.ArgumentParser(description=__doc__)
+parser.add_argument("config_file", help="compression YAML (or base config with --search)")
+parser.add_argument("--search", action="store_true", help="search for newest *_compression.yml")
+parser.add_argument("-i", "--max_iter", type=int, default=100)
+parser.add_argument("-m", "--max_tol", type=float, default=1e-3)
+parser.add_argument("-r", "--runtime_hr", type=float, default=None)
+parser.add_argument("-N", "--num_refine", type=int, default=256)
+parser.add_argument("-C", "--cache_interval", type=int, default=5)
+parser.add_argument("-n", "--save_interval", type=int, default=20)
+parser.add_argument("-f", "--fidelity", choices=["multi", "single", "both"], default="multi")
+parser.add_argument("--targets", nargs="*", default=None)
+parser.add_argument("-e", "--executor", default="batch", help="(parity flag)")
+parser.add_argument("-c", "--max_workers", type=int, default=None, help="(parity flag)")
+
+
+def find_config(base: Path) -> Path:
+    """Newest ``*_compression.yml`` under the config's directory tree
+    (the reference's timestamp-directory search convention, fit_surr.py:209-233)."""
+    root = base if base.is_dir() else base.parent
+    candidates = sorted(root.rglob("*_compression.yml"), key=lambda p: p.stat().st_mtime)
+    if not candidates:
+        raise FileNotFoundError(f"No *_compression.yml under {root}; run gen_data.py first")
+    return candidates[-1]
+
+
+def load_test_set(config_path: Path):
+    pkl = config_path.parent / "test_set.pkl"
+    if not pkl.exists():
+        return None
+    with open(pkl, "rb") as fd:
+        d = pickle.load(fd)
+    keep = ~d["discard"]
+    xt = {k: np.asarray(v)[keep] for k, v in d["samples"].items()}
+    yt = {k: np.asarray(v)[keep] for k, v in d["outputs"].items() if not k.endswith("_coords")}
+    return xt, yt
+
+
+def train_surrogate(system, fidelity: str, args, test_set):
+    """multi- vs single-fidelity runs (reference ``fit_surr.py:142-151``: single-
+    fidelity clears surrogates and empties each component's model_fidelity)."""
+    histories = {}
+    modes = ["multi", "single"] if fidelity == "both" else [fidelity]
+    saved_alpha = {c.name: c.model_fidelity for c in system.components}
+    for mode in modes:
+        system.clear()
+        for comp in system.components:
+            comp.model_fidelity = () if mode == "single" else saved_alpha[comp.name]
+        system.fit(
+            targets=args.targets,
+            max_iter=args.max_iter,
+            max_tol=args.max_tol,
+            runtime_hr=args.runtime_hr,
+            num_refine=args.num_refine,
+            save_interval=args.save_interval,
+            cache_interval=args.cache_interval,
+            test_set=test_set,
+            estimate_bounds=True,
+            update_bounds=True,
+        )
+        histories[mode] = list(system.train_history)
+    return histories
+
+
+def main(argv=None):
+    args = parser.parse_args(argv)
+    path = Path(args.config_file)
+    if args.search or not path.name.endswith("_compression.yml"):
+        path = find_config(path)
+    system = System.load_from_file(path)
+    system.set_logger(stdout=True)
+    test_set = load_test_set(path)
+
+    histories = train_surrogate(system, args.fidelity, args, test_set)
+
+    for mode, hist in histories.items():
+        cost_alloc, model_cost, overhead, evals = system.get_allocation()
+        print(f"=== {mode}-fidelity: {len(hist)} iterations, "
+              f"model cost {model_cost:.1f}s, overhead {overhead:.1f}s")
+        for h in hist[-5:]:
+            print(f"  iter {h['iteration']}: {h['component']} a={h['alpha']} b={h['beta']} "
+                  f"surplus={h['error_indicator']:.3e} test={h['test_error']}")
+    system.save_to_file(f"{system.name}_trained.yml", path.parent)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""Generate compression + test-set data for a PEM system.
+
+Work-alike of the reference's ``scripts/gen_data.py`` (argparse surface at
+``gen_data.py:440-467``): sample inputs, run the true models, filter NaN/outlier
+samples, pickle ``(samples, outputs)``, compute SVD compression maps for field
+quantities, and save a compression-enabled system YAML. The executor flags are
+accepted for CLI parity but the models evaluate as single batched SPMD calls.
+
+Usage: python gen_data.py config.yml -c 200 -t 200
+"""
+
+import argparse
+import pickle
+from pathlib import Path
+
+import numpy as np
+
+from hallthrusterpem_tpu.core.yaml_loader import YamlLoader
+
+parser = argparse.ArgumentParser(description=__doc__)
+parser.add_argument("config_file", help="System YAML config")
+parser.add_argument("-c", "--num_samples", type=int, default=200, help="compression samples")
+parser.add_argument("-t", "--test_samples", type=int, default=200, help="test-set samples")
+parser.add_argument("-e", "--executor", default="batch", help="(parity flag; batched SPMD always)")
+parser.add_argument("-m", "--max_workers", type=int, default=None, help="(parity flag)")
+parser.add_argument("-s", "--seed", type=int, default=0)
+parser.add_argument("-o", "--output_dir", default=None)
+parser.add_argument("--iqr_factor", type=float, default=1.5, help="IQR outlier threshold factor")
+
+
+def filter_outputs(outputs: dict, iqr_factor: float = 1.5):
+    """NaN + IQR outlier masking (reference ``gen_data.py:125-215`` semantics:
+    a sample is discarded if any scalar output is NaN or an IQR outlier; field
+    outputs count as outliers when >=75% of their points are)."""
+    n = None
+    for v in outputs.values():
+        arr = np.asarray(v)
+        if arr.ndim >= 1 and arr.dtype.kind == "f":
+            n = arr.shape[0]
+            break
+    if n is None:
+        return np.zeros(0, dtype=bool)
+    nan_idx = np.zeros(n, dtype=bool)
+    outlier_idx = np.zeros(n, dtype=bool)
+    for key, v in outputs.items():
+        arr = np.asarray(v)
+        if arr.dtype.kind != "f" or arr.ndim == 0 or arr.shape[0] != n or key.endswith("_coords"):
+            continue
+        flat = arr.reshape(n, -1)
+        nan_idx |= ~np.isfinite(flat).all(axis=1)
+        with np.errstate(invalid="ignore"):
+            q1, q3 = np.nanpercentile(flat, 25, axis=0), np.nanpercentile(flat, 75, axis=0)
+            iqr = q3 - q1
+            out = (flat < q1 - iqr_factor * iqr) | (flat > q3 + iqr_factor * iqr)
+        frac_needed = 0.75 if flat.shape[1] > 1 else 1.0
+        outlier_idx |= out.mean(axis=1) >= frac_needed
+    return nan_idx | outlier_idx
+
+
+def generate_data(system, n, seed, tag, out_dir, iqr_factor=1.5):
+    samples = system.sample_inputs(n, seed=seed, use_pdf=["calibration", "nuisance"])
+    outputs = system.predict(samples, use_model="best")
+    samples = {k: np.asarray(v) for k, v in samples.items()}
+    outputs = {k: np.asarray(v) for k, v in outputs.items()}
+    discard = filter_outputs(outputs, iqr_factor)
+    system.logger.info("%s: %d/%d samples kept", tag, n - discard.sum(), n)
+    with open(out_dir / f"{tag}.pkl", "wb") as fd:
+        pickle.dump({"samples": samples, "outputs": outputs, "discard": discard}, fd)
+    return samples, outputs, discard
+
+
+def process_compression(system, outputs, discard):
+    """Compute SVD maps for every compressed output (reference ``gen_data.py:261-294``)."""
+    keep = ~discard
+    for comp in system.components:
+        for var in comp.outputs:
+            if var.compression is None or var.name not in outputs:
+                continue
+            snaps = np.asarray(outputs[var.name])[keep]
+            coords_key = f"{var.name}_coords"
+            if coords_key in outputs:
+                c = np.asarray(outputs[coords_key])
+                var.compression.coords = c[0] if c.ndim > 1 else c
+            normed = np.asarray(var.normalize(snaps))
+            var.compression.data_matrix = normed.T  # (grid, snapshots)
+            var.compression.compute_map()
+            system.logger.info("compression: %s rank %d", var.name, var.compression.rank)
+
+
+def main(argv=None):
+    args = parser.parse_args(argv)
+    system = YamlLoader.load(args.config_file)
+    system.set_logger(stdout=True)
+    out_dir = Path(args.output_dir) if args.output_dir else (Path(args.config_file).parent / "amisc_data")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    system.root_dir = out_dir
+
+    _, outputs, discard = generate_data(system, args.num_samples, args.seed, "compression", out_dir, args.iqr_factor)
+    generate_data(system, args.test_samples, args.seed + 1, "test_set", out_dir, args.iqr_factor)
+    process_compression(system, outputs, discard)
+    path = system.save_to_file(f"{system.name}_compression.yml", out_dir)
+    system.logger.info("saved %s", path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,174 @@
+"""Bayesian calibration of the PEM v0 calibration parameters via DRAM MCMC.
+
+Capability work-alike of the reference's publication script
+``scripts/pem_v0/mcmc.py`` (SURVEY.md §2.3): Gaussian log-likelihood over
+V_cc / thrust / u_ion / j_ion plus a discharge-current penalty
+(reference ``mcmc.py:95-104``), priors from the calibration variables' pdfs
+(``mcmc.py:109-120``), MLE initialization, Laplace approximation, DRAM chains with
+HDF5 persistence and IAC/ESS diagnostics (``mcmc.py:268-341``).
+
+TPU-first: the posterior evaluates the *surrogate* (or true model) on the whole
+walker ensemble x all operating conditions as one batched call per MCMC step.
+
+Usage:
+  python mcmc.py pem_v0_SPT-100.yml --search --data thrust.csv vcc.csv --niter 20000
+(with no --data, a synthetic dataset is generated from the model at nominal
+calibration values — useful for self-consistency testing.)
+"""
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+from hallthrusterpem_tpu.core.system import System
+from hallthrusterpem_tpu.data import load_ht_datasets
+from hallthrusterpem_tpu.uq import dram, ess, integrated_autocorr_time, laplace_approximation, run_mle
+
+parser = argparse.ArgumentParser(description=__doc__)
+parser.add_argument("config_file")
+parser.add_argument("--search", action="store_true")
+parser.add_argument("--data", nargs="*", default=None, help="experimental CSV files")
+parser.add_argument("--niter", type=int, default=10000)
+parser.add_argument("--walkers", type=int, default=8)
+parser.add_argument("--use-model", default=None, help="'best' for true model; default surrogate")
+parser.add_argument("--noise-std", type=float, default=0.02, help="relative data noise (1-sigma)")
+parser.add_argument("--file", default="dram_chain.h5")
+parser.add_argument("--mle", action="store_true", help="run MLE optimization first")
+parser.add_argument("--qois", nargs="*", default=["V_cc", "T", "I_d"])
+parser.add_argument("--id-penalty", type=float, default=2.0,
+                    help="extra weight on the discharge-current misfit (reference mcmc.py:95-104)")
+
+
+def load_system(args) -> System:
+    path = Path(args.config_file)
+    if args.search:
+        from hallthrusterpem_tpu.core.yaml_loader import find_latest_save
+
+        path = find_latest_save(path)
+    system = System.load_from_file(path)
+    system.set_logger(stdout=True)
+    return system
+
+
+def build_dataset(system, args):
+    """(operating conditions dict-of-arrays, observations dict, sigmas dict)."""
+    if args.data:
+        entries = load_ht_datasets(args.data)
+        ops = {
+            "P_b": np.array([e.operating_condition["background pressure"] for e in entries]),
+            "V_a": np.array([e.operating_condition["discharge voltage"] for e in entries]),
+            "mdot_a": np.array([e.operating_condition["anode mass flow rate"] for e in entries]),
+        }
+        name_map = {"V_cc": "cathode coupling voltage", "T": "thrust", "I_d": "discharge current"}
+        obs, sig = {}, {}
+        for qoi, col in name_map.items():
+            vals = [e.data[col].val if col in e.data else np.nan for e in entries]
+            stds = [e.data[col].std if col in e.data else np.nan for e in entries]
+            obs[qoi] = np.asarray(vals, dtype=float)
+            sig[qoi] = np.asarray(stds, dtype=float)
+        return ops, obs, sig
+
+    # synthetic self-consistency dataset: model at nominal calibration values
+    ops = {
+        "P_b": np.array([3e-6, 1e-5, 3e-5, 5e-5]),
+        "V_a": np.full(4, 300.0),
+        "mdot_a": np.full(4, 5e-6),
+    }
+    samples = {}
+    for v in system.inputs():
+        if v.name in ops:
+            samples[v.name] = ops[v.name]
+        else:
+            nom = v.nominal if v.nominal is not None else 0.5 * sum(v.get_domain())
+            samples[v.name] = np.full(4, float(nom))
+    truth = system.predict(samples, use_model=args.use_model)
+    obs = {q: np.asarray(truth[q], dtype=float) for q in args.qois if q in truth}
+    sig = {q: np.abs(obs[q]) * args.noise_std + 1e-12 for q in obs}
+    rng = np.random.default_rng(0)
+    obs = {q: obs[q] * (1 + args.noise_std * rng.standard_normal(obs[q].shape)) for q in obs}
+    return ops, obs, sig
+
+
+def main(argv=None):
+    args = parser.parse_args(argv)
+    system = load_system(args)
+    calib = [v for v in system.inputs() if v.category == "calibration"]
+    names = [v.name for v in calib]
+    print(f"calibrating {len(names)} parameters: {names}")
+
+    ops, obs, sig = build_dataset(system, args)
+    n_ops = len(next(iter(ops.values())))
+
+    def log_likelihood(theta: np.ndarray) -> np.ndarray:
+        """Gaussian log-lik over all QoIs and operating conditions; theta (W, d).
+        One batched predict over (W * n_ops) samples per call."""
+        W = theta.shape[0]
+        batch = {}
+        for v in system.inputs():
+            if v.name in ops:
+                batch[v.name] = np.tile(ops[v.name], W)
+            elif v.name in names:
+                batch[v.name] = np.repeat(theta[:, names.index(v.name)], n_ops)
+            else:
+                nom = v.nominal if v.nominal is not None else 0.5 * sum(v.get_domain())
+                batch[v.name] = np.full(W * n_ops, float(nom))
+        pred = system.predict(batch, use_model=args.use_model, qoi_ind=list(obs))
+        ll = np.zeros(W)
+        for q in obs:
+            p = np.asarray(pred[q], dtype=float).reshape(W, n_ops)
+            mask = np.isfinite(obs[q])
+            r = (p - obs[q])[..., mask] / sig[q][mask]
+            w = args.id_penalty if q == "I_d" else 1.0
+            ll += -0.5 * w * np.nansum(r**2, axis=-1)
+        ll = np.where(np.isfinite(ll), ll, -1e30)
+        return ll
+
+    def log_prior(theta: np.ndarray) -> np.ndarray:
+        lp = np.zeros(theta.shape[0])
+        for i, v in enumerate(calib):
+            pdf = np.asarray(v.pdf(theta[:, i]), dtype=float)
+            lp += np.log(np.maximum(pdf, 1e-300))
+            dom = v.get_domain()
+            if dom is not None:
+                lp = np.where((theta[:, i] < dom[0]) | (theta[:, i] > dom[1]), -1e30, lp)
+        return lp
+
+    def log_posterior(theta: np.ndarray) -> np.ndarray:
+        theta = np.atleast_2d(theta)
+        lp = log_prior(theta)
+        alive = lp > -1e29
+        ll = np.where(alive, log_likelihood(theta), 0.0)
+        return lp + ll
+
+    x0 = np.array([v.nominal if v.nominal is not None else 0.5 * sum(v.get_domain()) for v in calib])
+
+    if args.mle:
+        res = run_mle(lambda x: -float(log_posterior(x[None])[0]), x0,
+                      bounds=[v.get_domain() for v in calib])
+        print("MLE:", dict(zip(names, res.x)))
+        x0 = res.x
+
+    samples, logps, acc = dram(
+        log_posterior, x0, niter=args.niter, n_walkers=args.walkers,
+        adapt_after=max(200, args.niter // 10), adapt_interval=100,
+        filename=args.file, progress=True,
+    )
+    print(f"acceptance: {acc:.3f}")
+    flat = samples[args.niter // 4 :].reshape(-1, len(names))
+    tau = integrated_autocorr_time(flat)
+    print("posterior mean:", dict(zip(names, np.round(flat.mean(axis=0), 6))))
+    print("posterior std: ", dict(zip(names, np.round(flat.std(axis=0), 6))))
+    print("IAC:", np.round(np.atleast_1d(tau), 1), " ESS:", np.round(np.atleast_1d(ess(flat)), 0))
+
+    try:
+        from hallthrusterpem_tpu.viz import ndscatter
+
+        ndscatter(flat[:: max(1, len(flat) // 5000)], labels=names, save_path="mcmc_corner.png")
+        print("saved mcmc_corner.png")
+    except Exception as e:  # plotting is best-effort
+        print("corner plot skipped:", e)
+
+
+if __name__ == "__main__":
+    main()
