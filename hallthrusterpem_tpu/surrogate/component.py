@@ -71,22 +71,30 @@ class ComponentSurrogate:
         self.misc_coeff: dict[tuple, int] = {}
 
     # ------------------------------------------------------------------ layout
-    def _build_layout(self):
+    def _build_layout(self, raw=None):
+        """Output layout: each output var maps to a column block. ``kind`` is
+        'scalar', 'latent' (SVD-compressed field), or 'raw' (uncompressed field —
+        every grid point is its own surrogate output). Raw-field sizes are
+        inferred from the first model evaluation."""
         if self._layout_built:
             return
         start = 0
         self._out_slices = []
         for var in self.outputs:
             if var.compression is not None and var.compression.projection is not None:
-                size = var.compression.latent_size
-                is_field = True
+                size, kind = var.compression.latent_size, "latent"
             else:
-                size = 1
-                is_field = False
-            self._out_slices.append((var, start, size, is_field))
+                size, kind = 1, "scalar"
+                if raw is not None and var.name in raw:
+                    val = np.asarray(raw[var.name])
+                    if val.ndim >= 2:  # (batch, grid, ...) field without compression
+                        size, kind = int(np.prod(val.shape[1:])), "raw"
+            self._out_slices.append((var, start, size, kind))
             start += size
         self.n_out = start
-        self._layout_built = True
+        # only a layout inferred from real model output is final (raw-field sizes
+        # cannot be known from the spec alone)
+        self._layout_built = raw is not None
 
     # ------------------------------------------------------------------ grids
     def knots_1d(self, beta: tuple) -> list[np.ndarray]:
@@ -104,11 +112,11 @@ class ComponentSurrogate:
 
     def _pack_outputs(self, raw: Dataset, n: int) -> np.ndarray:
         """Model outputs -> (N, n_out) normalized/compressed value matrix."""
-        self._build_layout()
+        self._build_layout(raw)
         cols = np.empty((n, self.n_out), dtype=np.float64)
-        for var, start, size, is_field in self._out_slices:
+        for var, start, size, kind in self._out_slices:
             val = np.asarray(raw[var.name], dtype=np.float64)
-            if is_field:
+            if kind == "latent":
                 # re-grid onto the compression coordinates when the model fidelity
                 # changed the output grid (the "{var}_coords" convention carries
                 # per-sample grids — SURVEY.md §5.7)
@@ -128,21 +136,23 @@ class ComponentSurrogate:
                 norm = np.asarray(var.normalize(val))
                 lat = np.asarray(var.compression.compress(jnp.asarray(norm)))
                 cols[:, start : start + size] = lat.reshape(n, size)
-            else:
+            else:  # scalar or raw field
                 norm = np.asarray(var.normalize(val))
-                cols[:, start : start + size] = norm.reshape(n, 1)
+                cols[:, start : start + size] = norm.reshape(n, size)
         return cols
 
     def unpack_outputs(self, mat, denormalize: bool = True) -> Dataset:
-        """(..., n_out) value matrix -> named outputs. Scalars are denormalized;
-        field outputs are returned as latent coefficient arrays (reconstruct with
-        :meth:`reconstruct_field`)."""
+        """(..., n_out) value matrix -> named outputs. Scalars and raw fields are
+        denormalized; compressed fields come back as latent coefficient arrays
+        (reconstruct with :meth:`reconstruct_field`)."""
         self._build_layout()
         out: Dataset = {}
-        for var, start, size, is_field in self._out_slices:
+        for var, start, size, kind in self._out_slices:
             block = mat[..., start : start + size]
-            if is_field:
+            if kind == "latent":
                 out[var.name] = block  # latent coefficients (normalized space)
+            elif kind == "raw":
+                out[var.name] = var.denormalize(block) if denormalize else block
             else:
                 scalar = block[..., 0]
                 out[var.name] = var.denormalize(scalar) if denormalize else scalar
@@ -150,11 +160,11 @@ class ComponentSurrogate:
 
     def reconstruct_field(self, var_name: str, latents):
         """Latent coefficients -> denormalized field profile."""
-        for var, start, size, is_field in self._out_slices:
-            if var.name == var_name and is_field:
+        for var, start, size, kind in self._out_slices:
+            if var.name == var_name and kind == "latent":
                 rec = var.compression.reconstruct(jnp.asarray(latents))
                 return var.denormalize(rec)
-        raise KeyError(f"{var_name} is not a field output of {self.component.name}")
+        raise KeyError(f"{var_name} is not a compressed field output of {self.component.name}")
 
     # ------------------------------------------------------------------ training
     def _point_key(self, pt: np.ndarray) -> tuple:
@@ -278,6 +288,8 @@ class ComponentSurrogate:
     def to_state(self) -> dict:
         return {
             "knots_per_level": self.knots_per_level,
+            "layout": [(var.name, start, size, kind) for var, start, size, kind in self._out_slices]
+            if self._layout_built else None,
             "active": sorted(self.active),
             "candidates": sorted(self.candidates),
             "interp": {
@@ -297,5 +309,11 @@ class ComponentSurrogate:
                 knots=tuple(v["knots"]), values=v["values"]
             )
         surr.eval_cache = state.get("eval_cache", {})
+        layout = state.get("layout")
+        if layout:
+            by_name = {v.name: v for v in surr.outputs}
+            surr._out_slices = [(by_name[n], start, size, kind) for (n, start, size, kind) in layout]
+            surr.n_out = sum(size for (_, _, size, _) in layout)
+            surr._layout_built = True
         surr.misc_coeff = combination_coefficients(surr.active)
         return surr

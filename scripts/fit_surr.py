@@ -8,6 +8,11 @@ single-, or both-fidelity modes, and report error-vs-cost.
 Usage: python fit_surr.py config.yml --search  (or a direct path to *_compression.yml)
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # repo root
+
 import argparse
 import pickle
 from pathlib import Path

@@ -9,6 +9,11 @@ accepted for CLI parity but the models evaluate as single batched SPMD calls.
 Usage: python gen_data.py config.yml -c 200 -t 200
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # repo root
+
 import argparse
 import pickle
 from pathlib import Path

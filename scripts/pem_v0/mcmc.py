@@ -16,6 +16,11 @@ Usage:
 calibration values — useful for self-consistency testing.)
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))  # repo root
+
 import argparse
 from pathlib import Path
 

@@ -9,6 +9,11 @@ summaries, HDF5 persistence.
 Usage: python monte_carlo.py pem_v0_SPT-100.yml --search -n 1000
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))  # repo root
+
 import argparse
 from pathlib import Path
 

@@ -6,6 +6,11 @@ Work-alike of the reference's ``scripts/plot_slice.py`` (search conventions at
 Usage: python plot_slice.py config.yml --search [-i P_b V_a] [-o T I_d] [-n 15]
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # repo root
+
 import argparse
 from pathlib import Path
 

@@ -1,0 +1,111 @@
+"""End-to-end workflow-script tests: gen_data -> fit_surr -> plot_slice on the
+fake PEM (the reference's pipeline shape, SURVEY.md §3.2-3.3, exercised in-process)."""
+
+import shutil
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO / "scripts"))
+sys.path.insert(0, str(REPO / "scripts" / "pem_v0"))
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    shutil.copy(Path(__file__).parent / "fake_pem.yml", tmp_path / "fake_pem.yml")
+    return tmp_path
+
+
+def test_pipeline_gen_fit_slice(workdir, monkeypatch):
+    import gen_data
+    import fit_surr
+    import plot_slice
+
+    cfg = str(workdir / "fake_pem.yml")
+    gen_data.main([cfg, "-c", "48", "-t", "32"])
+    data_dir = workdir / "amisc_data"
+    assert (data_dir / "compression.pkl").exists()
+    assert (data_dir / "test_set.pkl").exists()
+    comp_yml = data_dir / "fake-pem_compression.yml"
+    assert comp_yml.exists()
+
+    # compression maps persisted with the system
+    from hallthrusterpem_tpu.core.system import System
+
+    system = System.load_from_file(comp_yml)
+    uvar = system["Thruster"]["u_ion"]
+    assert uvar.compression.projection is not None
+    assert uvar.compression.latent_size >= 1
+
+    fit_surr.main([str(comp_yml), "-i", "6", "-m", "1e-8", "-N", "64"])
+    trained = data_dir / "fake-pem_trained.yml"
+    assert trained.exists()
+
+    s2 = System.load_from_file(trained)
+    assert all(c.surrogate is not None for c in s2.components)
+    assert len(s2.train_history) >= 1
+    # surrogate predictions exist and are finite on fresh samples
+    out = s2.predict(s2.sample_inputs(16, seed=9), use_model=None, training=True)
+    assert np.isfinite(np.asarray(out["T"], dtype=float)).all()
+
+    monkeypatch.chdir(workdir)
+    plot_slice.main([str(trained), "-i", "P_b", "V_a", "-o", "T", "I_d", "-n", "7",
+                     "--save", str(workdir / "slice.png")])
+    assert (workdir / "slice.png").exists()
+
+
+def test_mcmc_script_synthetic(workdir, monkeypatch):
+    """DRAM calibration self-consistency on the fake PEM (true model, tiny run)."""
+    import mcmc
+
+    monkeypatch.chdir(workdir)
+    mcmc.main([str(workdir / "fake_pem.yml"), "--niter", "60", "--walkers", "4",
+               "--use-model", "best", "--file", str(workdir / "chain.h5"),
+               "--qois", "V_cc", "T", "I_d"])
+    assert (workdir / "chain.h5").exists()
+    from hallthrusterpem_tpu.uq import read_mcmc_chain
+
+    chains, logps = read_mcmc_chain(workdir / "chain.h5", burn_frac=0.0, clean=False)
+    assert chains.shape[0] == 61
+
+
+def test_sobol_script(workdir, capsys):
+    import sobol
+
+    sobol.main([str(workdir / "fake_pem.yml"), "-n", "128",
+                "--pressures", "1e-5", "--qois", "T", "I_d", "V_cc"])
+    out = capsys.readouterr().out
+    assert "P_b = 1.0e-05" in out.replace("1e-05", "1.0e-05")
+
+
+def test_monte_carlo_script(workdir, monkeypatch):
+    import monte_carlo
+
+    monkeypatch.chdir(workdir)
+    monte_carlo.main([str(workdir / "fake_pem.yml"), "-n", "64", "--pressures", "1e-5", "3e-5",
+                      "--qois", "V_cc", "T", "I_d", "--out", str(workdir / "mc.h5")])
+    import h5py
+
+    with h5py.File(workdir / "mc.h5", "r") as f:
+        assert len(f.keys()) == 2
+        grp = f[list(f.keys())[0]]
+        assert grp["T"].shape == (64,)
+
+
+def test_debug_script():
+    import debug
+
+    debug.main(["-n", "8"])
+
+
+def test_bench_importable():
+    """bench.py parses and has a main (actual run needs the TPU)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench", REPO / "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert callable(mod.main)

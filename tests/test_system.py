@@ -1,5 +1,7 @@
 """System/Component/Variable + YAML DSL tests (the amisc-equivalent core)."""
 
+from pathlib import Path
+
 import numpy as np
 import jax
 import pytest
@@ -9,116 +11,7 @@ from hallthrusterpem_tpu.core.system import System
 from hallthrusterpem_tpu.core.variables import Variable, parse_distribution, parse_norms
 from hallthrusterpem_tpu.core.yaml_loader import YamlLoader, load_system, save_system
 
-FAKE_PEM_YAML = """\
-!System
-name: fake-pem
-components: !Component
-  - name: Cathode
-    model: !!python/name:hallmd.models.cathode.cathode_coupling
-    vectorized: true
-    inputs: !Variable
-      - name: P_b
-        category: operating
-        nominal: 1.0e-5
-        domain: (1.0e-8, 1.0e-4)
-        distribution: Relative(20)
-        norm: log10
-      - name: V_a
-        category: operating
-        nominal: 300
-        domain: (200, 400)
-      - name: T_e
-        category: calibration
-        nominal: 2.0
-        distribution: U(1, 5)
-      - name: V_vac
-        category: calibration
-        nominal: 30.0
-        distribution: U(0, 60)
-      - name: Pstar
-        category: calibration
-        nominal: 35.0e-6
-        distribution: Uniform(10.0e-6, 100.0e-6)
-        norm: linear(1e6)
-      - name: P_T
-        category: calibration
-        nominal: 10.0e-6
-        distribution: Uniform(10.0e-6, 100.0e-6)
-        norm: linear(1e6)
-    outputs: !Variable
-      - name: V_cc
-        domain: (0, 60)
-  - name: Thruster
-    model: !!python/name:hallthrusterpem_tpu.models.fake_thruster.fake_thruster
-    vectorized: true
-    inputs: !Variable
-      - name: V_a
-      - name: V_cc
-      - name: mdot_a
-        category: operating
-        nominal: 5.0e-6
-        domain: (2.0e-6, 7.0e-6)
-        distribution: Relative(3)
-        norm: linear(1e6)
-      - name: a_1
-        category: calibration
-        nominal: 0.0068
-        distribution: LogUniform(0.00316, 0.1)
-        norm: log10
-    outputs: !Variable
-      - name: I_B0
-        domain: (0, 10)
-      - name: T
-        domain: (0, 0.2)
-      - name: I_d
-        domain: (0, 10)
-      - name: u_ion
-        compression:
-          method: svd
-          reconstruction_tol: 0.01
-  - name: Plume
-    model: !!python/name:hallthrusterpem_tpu.models.plume.current_density
-    vectorized: true
-    sweep_radius: 1.0
-    inputs: !Variable
-      - name: P_b
-      - name: c0
-        category: calibration
-        nominal: 0.5
-        distribution: U(0.1, 0.9)
-      - name: c1
-        category: calibration
-        nominal: 0.5
-        distribution: U(0.1, 0.9)
-      - name: c2
-        category: calibration
-        nominal: 10.0
-        distribution: U(-15, 15)
-      - name: c3
-        category: calibration
-        nominal: 0.4
-        distribution: U(0.2, 1.5)
-      - name: c4
-        category: calibration
-        nominal: 1.0e+20
-        distribution: LogUniform(1e18, 1e22)
-        norm: log10
-      - name: c5
-        category: calibration
-        nominal: 1.0e+16
-        distribution: LogUniform(1e14, 1e18)
-        norm: log10
-      - name: sigma_cex
-        category: nuisance
-        nominal: 55.0e-20
-        distribution: Uniform(51.0e-20, 58.0e-20)
-        norm: linear(1e20)
-      - name: I_B0
-    outputs: !Variable
-      - name: j_ion
-        norm: log10
-      - name: div_angle
-"""
+FAKE_PEM_YAML = (Path(__file__).parent / "fake_pem.yml").read_text()
 
 
 @pytest.fixture()
