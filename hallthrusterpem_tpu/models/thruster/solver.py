@@ -160,8 +160,30 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
     state0 = (rho_n0, rho_i0, mom_i0, nE0)
 
     # ---------------------------------------------------------------- step function
+    # state sanitization bounds: keep every intermediate finite and in-range so the
+    # compiled program is well-defined even for blown-up samples (failed samples
+    # are flagged and NaN-masked at the end — SURVEY.md §5.3 mask semantics; NaNs
+    # must never reach gather indices or int casts)
+    rho_max = jnp.asarray(1e21 * mi, f)  # 1e21 m^-3 ceiling
+    u_max = jnp.asarray(3e5, f)  # m/s ceiling
+
     def step(carry, _):
-        (rho_n, rho_i, mom_i, nE), accum, i = carry
+        (rho_n, rho_i, mom_i, nE), accum, i, failed = carry
+
+        # ---- detect blow-ups, then sanitize state (NaN/Inf -> safe in-range values)
+        finite = (
+            jnp.all(jnp.isfinite(rho_n))
+            & jnp.all(jnp.isfinite(rho_i))
+            & jnp.all(jnp.isfinite(mom_i))
+            & jnp.all(jnp.isfinite(nE))
+        )
+        failed = failed | (~finite)
+        rho_n = jnp.clip(jnp.nan_to_num(rho_n, nan=1e10 * mi, posinf=1e21 * mi, neginf=1e10 * mi),
+                         rho_floor, rho_max)
+        rho_i = jnp.clip(jnp.nan_to_num(rho_i, nan=1e10 * mi, posinf=1e21 * mi, neginf=1e10 * mi),
+                         rho_floor, rho_max)
+        mom_i = jnp.clip(jnp.nan_to_num(mom_i), -rho_i * u_max, rho_i * u_max)
+        nE = jnp.clip(jnp.nan_to_num(nE, nan=1.0, posinf=1e22, neginf=1.0), 1.0, 1e23)
 
         # ---- plasma properties
         ni = rho_i / mi
@@ -330,7 +352,7 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
             "E": accum["E"] + w_avg * E_z,
             "nn": accum["nn"] + w_avg * nn,
         }
-        return ((rho_n_new, rho_i_new, mom_i_new, nE_new), new_accum, i + 1), None
+        return ((rho_n_new, rho_i_new, mom_i_new, nE_new), new_accum, i + 1, failed), None
 
     accum0 = {
         "thrust": jnp.zeros((), f),
@@ -346,15 +368,16 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
         "nn": jnp.zeros((NC,), f),
     }
 
+    carry0 = (state0, accum0, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
     if _return_step:
-        return step, (state0, accum0, jnp.zeros((), jnp.int32))
+        return step, carry0
 
-    (state_f, accum, _), _ = jax.lax.scan(
-        step, (state0, accum0, jnp.zeros((), jnp.int32)), None, length=cfg.num_steps
-    )
+    (state_f, accum, _, failed), _ = jax.lax.scan(step, carry0, None, length=cfg.num_steps)
 
     n_avg = jnp.asarray(max(cfg.num_steps - cfg.avg_start_step, 1), f)
-    avg = {k: v / n_avg for k, v in accum.items()}
+    # failed samples surface as NaN (the wrapper and gen_data mask them out)
+    nanify = lambda v: jnp.where(failed, jnp.nan, v)
+    avg = {k: nanify(v / n_avg) for k, v in accum.items()}
 
     thrust = avg["thrust"]
     I_d = avg["I_d"]
