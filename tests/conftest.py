@@ -15,6 +15,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+import json  # noqa: E402
+import time  # noqa: E402
+from pathlib import Path  # noqa: E402
+
 import pytest  # noqa: E402
 
 
@@ -23,3 +27,13 @@ def eight_devices():
     devs = jax.devices()
     assert len(devs) >= 8, f"expected 8 virtual CPU devices, got {devs}"
     return devs[:8]
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """Record the last test-run status for the pre-commit gate
+    (the reference's ``.pytest_status`` convention, tests/conftest.py:60-67)."""
+    status = {"exit_status": int(exitstatus), "timestamp": time.time()}
+    try:
+        (Path(__file__).resolve().parents[1] / ".pytest_status").write_text(json.dumps(status))
+    except OSError:
+        pass
