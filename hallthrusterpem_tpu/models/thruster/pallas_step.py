@@ -1,0 +1,532 @@
+"""Pallas TPU kernel: fused discharge-solver timestep.
+
+One kernel invocation advances a whole batch tile of discharges by one timestep —
+heavy-species boundary conditions, upwind/HLLE fluxes, ionization/excitation
+sources (closed-form log-polynomial rate fits — pure fma, no gathers), the
+Ohm's-law current/field sweep (lane reductions), and the implicit electron-energy
+tridiagonal solve (in-lane parallel cyclic reduction) — all in VMEM, writing state
+back to HBM once per step instead of once per XLA fusion boundary. This is the
+"Pallas kernels for flux and source evaluation" of the north-star design
+(BASELINE.json), replacing the body of the pure-lax step in ``solver.py``.
+
+Layout: arrays are (TILE_B, 256) float32 — batch on sublanes, cells on lanes
+(NC <= 254 padded to 256, the last ghost cell parked at lane NC-1). Neighbor
+access is `pltpu.roll` along lanes + index masks; per-sample scalars ride in a
+packed (TILE_B, 128) block.
+
+Correctness contract: bit-comparable (to f32 tolerance) with ``solver.py``'s lax
+step — enforced by ``tests/test_pallas.py`` in interpret mode.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hallthrusterpem_tpu.constants import ELECTRON_MASS, FUNDAMENTAL_CHARGE
+from hallthrusterpem_tpu.models.thruster.config import SolverConfig
+from hallthrusterpem_tpu.models.thruster.rates import (
+    K_EN,
+    build_reactions,
+    excitation_log_poly,
+)
+
+_E = FUNDAMENTAL_CHARGE
+_ME = ELECTRON_MASS
+
+LANES = 256
+TILE_B = 8
+
+# per-sample scalar slots in the packed params block
+_P_DV, _P_MDOT, _P_UN, _P_CW, _P_TECATH = range(5)
+_N_SCALARS = 8  # padded
+
+
+def _poly_eval(coeffs: np.ndarray, x):
+    out = jnp.zeros_like(x) + coeffs[0]
+    for c in coeffs[1:]:
+        out = out * x + c
+    return out
+
+
+def _lane_iota(dtype=jnp.int32):
+    return jax.lax.broadcasted_iota(dtype, (TILE_B, LANES), dimension=1)
+
+
+def _roll(x, shift: int):
+    """x shifted so out[:, i] = x[:, i - shift] (circular roll along lanes;
+    pltpu.roll only accepts non-negative shifts)."""
+    return pltpu.roll(x, shift % LANES, axis=1)
+
+
+def build_step_kernel(cfg: SolverConfig, interpret: bool = False):
+    """Build ``step(state, consts) -> (state', extras)`` where arrays are
+    (B, LANES) with B a multiple of TILE_B. ``consts`` carries the static-in-time
+    per-sample profiles (nu_anom, omega_ce, channel mask) and packed scalars."""
+    NC = cfg.nc
+    if NC > LANES - 2:
+        raise ValueError(f"num_cells={cfg.num_cells} exceeds the {LANES}-lane kernel layout")
+    Z = cfg.ncharge
+    dz = cfg.dz
+    dt = cfg.dt
+    mi = cfg.mi
+    A_ch = cfg.geometry.channel_area
+    gap = cfg.geometry.channel_gap
+    a_i = float(np.sqrt(1.380649e-23 * cfg.ion_temp_K / mi))
+    zq = [float(z) for z in range(1, Z + 1)]
+    k_en = K_EN.get(cfg.propellant, 2.5e-13)
+
+    reactions = build_reactions(cfg.propellant, Z)
+    rxn_coeffs = [(np.asarray(r.log_poly), r.z_from, r.z_to, r.energy_eV) for r in reactions]
+    ex_coeffs, ex_energy = excitation_log_poly(cfg.propellant)
+
+    rho_floor = float(1e10 * mi)
+    ne_floor = 1e12
+    n_state = 2 + 2 * Z  # rho_n, nE, (rho_i, mom_i) x Z
+
+    def kernel(*refs):
+        # inputs: state refs (n_state), nu_anom, omega_ce, scalars
+        (state_refs, (nu_anom_ref, omega_ref, scal_ref),
+         out_refs, (jd_ref, te_ref, ne_ref, e_ref, nn_ref)) = (
+            refs[:n_state], refs[n_state : n_state + 3],
+            refs[n_state + 3 : 2 * n_state + 3], refs[2 * n_state + 3 :],
+        )
+        lane = _lane_iota()
+        interior = (lane >= 1) & (lane <= NC - 2)
+        in_domain = lane <= NC - 1
+        fint = jnp.float32
+        interior_f = interior.astype(fint)
+
+        rho_n = state_refs[0][:, :]
+        nE = state_refs[1][:, :]
+        rho_i = [state_refs[2 + 2 * z][:, :] for z in range(Z)]
+        mom_i = [state_refs[3 + 2 * z][:, :] for z in range(Z)]
+
+        dV = scal_ref[:, _P_DV][:, None]
+        mdot_in = scal_ref[:, _P_MDOT][:, None]
+        u_n = scal_ref[:, _P_UN][:, None]
+        c_w = scal_ref[:, _P_CW][:, None]
+        te_cath = scal_ref[:, _P_TECATH][:, None]
+
+        nu_anom = nu_anom_ref[:, :]
+        omega_ce = omega_ref[:, :]
+        z_cell = jnp.where(lane == 0, 0.0, (lane.astype(fint) - 0.5) * dz)
+        z_cell = jnp.where(lane >= NC - 1, cfg.domain[1] - cfg.domain[0], z_cell)
+        in_channel = (z_cell <= cfg.geometry.channel_length).astype(fint)
+
+        # ---- sanitize (same contract as solver.py)
+        sane = lambda x, lo, hi: jnp.clip(jnp.where(jnp.isfinite(x), x, lo), lo, hi)
+        rho_n = sane(rho_n, rho_floor, 1e21 * mi)
+        rho_i = [sane(r, rho_floor, 1e21 * mi) for r in rho_i]
+        mom_i = [jnp.clip(jnp.where(jnp.isfinite(m), m, 0.0), -r * 3e5, r * 3e5)
+                 for m, r in zip(mom_i, rho_i)]
+        nE = sane(nE, 1.0, 1e23)
+
+        # ---- plasma properties
+        ni = [r / mi for r in rho_i]
+        ne = ni[0] * zq[0]
+        for z in range(1, Z):
+            ne = ne + zq[z] * ni[z]
+        ne = jnp.maximum(ne, ne_floor)
+        Te = jnp.clip((2.0 / 3.0) * nE / ne, cfg.Te_min, cfg.Te_max)
+        nn = jnp.maximum(rho_n / mi, 1e6)
+        u_i = [m / jnp.maximum(r, rho_floor) for m, r in zip(mom_i, rho_i)]
+
+        # ---- collisions & mobility
+        lnTe = jnp.log(Te)
+        lnL = jnp.clip(23.0 - 0.5 * jnp.log(ne * 1e-6) + 1.5 * lnTe, 2.0, 30.0)
+        nu_ei = 2.9e-12 * ne * lnL * jnp.exp(-1.5 * lnTe)
+        nu_ew = (cfg.electron_wall_losses * 1e7) * c_w * in_channel
+        nu_e = k_en * nn + nu_ei + nu_anom + nu_ew
+        inv_nu = 1.0 / nu_e
+        mu = (_E / _ME) * inv_nu / (1.0 + (omega_ce * inv_nu) ** 2)
+
+        # ---- Ohm's law (direct integration; lane reductions)
+        j_i = zq[0] * ni[0] * u_i[0]
+        for z in range(1, Z):
+            j_i = j_i + zq[z] * ni[z] * u_i[z]
+        j_i = _E * j_i
+        pe = ne * Te
+        grad_pe = (_roll(pe, -1) - _roll(pe, 1)) * (0.5 / dz)
+        grad_pe = jnp.where(lane == 0, (_roll(pe, -1) - pe) / dz, grad_pe)
+        grad_pe = jnp.where(lane == NC - 1, (pe - _roll(pe, 1)) / dz, grad_pe)
+        grad_pe = jnp.where(in_domain, grad_pe, 0.0)
+        enmu = _E * ne * mu
+        num_igd = (j_i / enmu + grad_pe / ne) * interior_f
+        den_igd = (1.0 / enmu) * interior_f
+        num_int = jnp.sum(num_igd, axis=1, keepdims=True) * dz
+        den_int = jnp.sum(den_igd, axis=1, keepdims=True) * dz
+        j_d = (dV + num_int) / den_int
+        E_z = (j_d - j_i) / enmu - grad_pe / ne
+
+        # ---- heavy-species ghost cells
+        u_bohm1 = jnp.sqrt(_E * Te[:, 1][:, None] / mi)  # (B,1) at first interior cell
+        mom_back = jnp.zeros_like(dV)
+        for z in range(Z):
+            mom_back = mom_back + jnp.minimum(mom_i[z][:, 1][:, None], 0.0)
+        rho_n_l = (mdot_in / A_ch - mom_back) / u_n
+        rho_n_b = jnp.where(lane == 0, rho_n_l, rho_n)
+        rho_n_b = jnp.where(lane == NC - 1, _roll(rho_n, 1), rho_n_b)
+
+        rho_b, mom_b = [], []
+        for z in range(Z):
+            u_gl = jnp.minimum(u_i[z][:, 1][:, None], -cfg.mdot_bohm_fraction * jnp.sqrt(zq[z]) * u_bohm1)
+            r_gl = rho_i[z][:, 1][:, None]
+            rb = jnp.where(lane == 0, r_gl, rho_i[z])
+            rb = jnp.where(lane == NC - 1, _roll(rho_i[z], 1), rb)
+            mb = jnp.where(lane == 0, r_gl * u_gl, mom_i[z])
+            mb = jnp.where(lane == NC - 1, _roll(mom_i[z], 1), mb)
+            rho_b.append(rb)
+            mom_b.append(mb)
+
+        # ---- fluxes: F[:, i] = flux through face between cells i and i+1
+        face = lane <= NC - 2
+        face_f = face.astype(fint)
+        Fn = u_n * rho_n_b * face_f  # neutral upwind (u_n > 0)
+
+        Fr, Fm = [], []
+        for z in range(Z):
+            rL, mL = rho_b[z], mom_b[z]
+            rR, mR = _roll(rL, -1), _roll(mL, -1)
+            uL = mL / jnp.maximum(rL, rho_floor)
+            uR = mR / jnp.maximum(rR, rho_floor)
+            sL = jnp.minimum(jnp.minimum(uL - a_i, uR - a_i), 0.0)
+            sR = jnp.maximum(jnp.maximum(uL + a_i, uR + a_i), 0.0)
+            ds = jnp.maximum(sR - sL, 1e-8)
+            FmL = mL * uL + rL * (a_i * a_i)
+            FmR = mR * uR + rR * (a_i * a_i)
+            Fr.append(((sR * mL - sL * mR + sL * sR * (rR - rL)) / ds) * face_f)
+            Fm.append(((sR * FmL - sL * FmR + sL * sR * (mR - mL)) / ds) * face_f)
+
+        ddz = lambda F: (F - _roll(F, 1)) / dz
+
+        # ---- sources: closed-form rates (log-poly in ln Te), E-force, wall losses
+        d_rho_n = jnp.zeros_like(rho_n)
+        d_rho = [jnp.zeros_like(rho_n) for _ in range(Z)]
+        d_mom = [jnp.zeros_like(rho_n) for _ in range(Z)]
+        inelastic = jnp.zeros_like(rho_n)
+        for coeffs, z_from, z_to, energy in rxn_coeffs:
+            k_r = jnp.exp(_poly_eval(coeffs, lnTe))
+            n_from = nn if z_from == 0 else ni[z_from - 1]
+            u_from = u_n if z_from == 0 else u_i[z_from - 1]
+            dm = (ne * k_r) * n_from * mi
+            if z_from == 0:
+                d_rho_n = d_rho_n - dm
+            else:
+                d_rho[z_from - 1] = d_rho[z_from - 1] - dm
+                d_mom[z_from - 1] = d_mom[z_from - 1] - dm * u_from
+            d_rho[z_to - 1] = d_rho[z_to - 1] + dm
+            d_mom[z_to - 1] = d_mom[z_to - 1] + dm * u_from
+            inelastic = inelastic + (dm / mi) * energy
+        k_ex = jnp.exp(_poly_eval(ex_coeffs, lnTe))
+        inelastic = inelastic + (ne * k_ex) * nn * ex_energy
+
+        for z in range(Z):
+            d_mom[z] = d_mom[z] + zq[z] * _E * ni[z] * E_z
+        if cfg.ion_wall_losses:
+            sqrt_te = jnp.sqrt(_E * Te / mi)
+            for z in range(Z):
+                nu_iw = (0.6 * np.sqrt(zq[z]) / gap) * sqrt_te * in_channel
+                d_rho[z] = d_rho[z] - nu_iw * rho_i[z]
+                d_mom[z] = d_mom[z] - nu_iw * mom_i[z]
+                d_rho_n = d_rho_n + nu_iw * rho_i[z]
+
+        upd = lambda base, flux, src: base + (-dt) * ddz(flux) * interior_f + dt * src * interior_f
+        rho_n_new = jnp.maximum(upd(rho_n_b, Fn, d_rho_n), rho_floor)
+        rho_new = [jnp.maximum(upd(rho_b[z], Fr[z], d_rho[z]), rho_floor) for z in range(Z)]
+        mom_new = [upd(mom_b[z], Fm[z], d_mom[z]) for z in range(Z)]
+
+        # ---- electron energy: backward-Euler in Te, in-lane PCR
+        ne_new = rho_new[0] / mi * zq[0]
+        for z in range(1, Z):
+            ne_new = ne_new + zq[z] * rho_new[z] / mi
+        ne_new = jnp.maximum(ne_new, ne_floor)
+
+        Gamma_e = -(j_d - j_i) / _E
+        G_f = 0.5 * (Gamma_e + _roll(Gamma_e, -1))  # face f = between cells f, f+1
+        kap = (10.0 / 9.0) * mu * ne * Te
+        kf = 0.5 * (kap + _roll(kap, -1)) / dz
+        Gp = 2.5 * jnp.maximum(G_f, 0.0)
+        Gn = 2.5 * jnp.minimum(G_f, 0.0)
+        nu_eps = (cfg.electron_wall_losses * 1e7) * c_w * jnp.exp(-20.0 / Te) * in_channel
+        q_ohm = (j_d - j_i) * E_z / _E
+
+        # row i uses faces f-=i-1 (roll +1) and f+=i
+        Gp_m, Gn_m, kf_m = _roll(Gp, 1), _roll(Gn, 1), _roll(kf, 1)
+        sub = (-Gp_m - kf_m) / dz
+        sup = (Gn - kf) / dz
+        diag = 1.5 * ne_new / dt + (Gp - Gn_m + kf + kf_m) / dz + nu_eps * 1.5 * ne_new
+        rhs = nE / dt + q_ohm - inelastic
+        # Dirichlet BCs folded into the first/last interior rows
+        Te_bc_l = jnp.full_like(dV, cfg.anode_Te)
+        rhs = jnp.where(lane == 1, rhs - sub * Te_bc_l, rhs)
+        rhs = jnp.where(lane == NC - 2, rhs - sup * te_cath, rhs)
+        sub = jnp.where(lane == 1, 0.0, sub)
+        sup = jnp.where(lane == NC - 2, 0.0, sup)
+        # identity rows outside the interior
+        sub = jnp.where(interior, sub, 0.0)
+        sup = jnp.where(interior, sup, 0.0)
+        diag = jnp.where(interior, diag, 1.0)
+        rhs = jnp.where(interior, rhs, 1.0)
+
+        # row-normalized PCR over lanes (8 levels for 256 lanes)
+        inv = 1.0 / diag
+        a = sub * inv
+        c = sup * inv
+        d = rhs * inv
+        b = jnp.ones_like(d)
+        k = 1
+        for _ in range(8):
+            valid_m = lane >= k
+            valid_p = lane < LANES - k
+            am = jnp.where(valid_m, _roll(a, k), 0.0)
+            bm = jnp.where(valid_m, _roll(b, k), 1.0)
+            cm = jnp.where(valid_m, _roll(c, k), 0.0)
+            dm_ = jnp.where(valid_m, _roll(d, k), 0.0)
+            ap = jnp.where(valid_p, _roll(a, -k), 0.0)
+            bp = jnp.where(valid_p, _roll(b, -k), 1.0)
+            cp = jnp.where(valid_p, _roll(c, -k), 0.0)
+            dp_ = jnp.where(valid_p, _roll(d, -k), 0.0)
+            alpha = -a / bm
+            beta = -c / bp
+            a = alpha * am
+            c = beta * cp
+            b = b + alpha * cm + beta * ap
+            d = d + alpha * dm_ + beta * dp_
+            k *= 2
+        Te_new = d / b
+        Te_new = jnp.where(lane == 0, Te_bc_l, Te_new)
+        Te_new = jnp.where(lane >= NC - 1, te_cath, Te_new)
+        Te_new = jnp.clip(Te_new, cfg.Te_min, cfg.Te_max)
+        nE_new = 1.5 * ne_new * Te_new
+
+        # ---- write state + diagnostics
+        out_refs[0][:, :] = rho_n_new
+        out_refs[1][:, :] = nE_new
+        for z in range(Z):
+            out_refs[2 + 2 * z][:, :] = rho_new[z]
+            out_refs[3 + 2 * z][:, :] = mom_new[z]
+        jd_ref[:, :] = jnp.broadcast_to(j_d, (TILE_B, LANES))
+        te_ref[:, :] = Te
+        ne_ref[:, :] = ne
+        e_ref[:, :] = E_z
+        nn_ref[:, :] = nn
+
+    def step(state: dict, consts: dict):
+        """state: dict of (B, LANES) arrays; consts: nu_anom/omega_ce (B, LANES),
+        scalars (B, 128). Returns (state', extras dict)."""
+        B = state["rho_n"].shape[0]
+        grid = (B // TILE_B,)
+        tile = lambda: pl.BlockSpec((TILE_B, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        stile = pl.BlockSpec((TILE_B, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+        state_list = [state["rho_n"], state["nE"]]
+        for z in range(Z):
+            state_list += [state["rho_i"][z], state["mom_i"][z]]
+
+        n_out = n_state + 5
+        out_shapes = [jax.ShapeDtypeStruct((B, LANES), jnp.float32) for _ in range(n_out)]
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[tile() for _ in range(n_state)] + [tile(), tile(), stile],
+            out_specs=[tile() for _ in range(n_out)],
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(*state_list, consts["nu_anom"], consts["omega_ce"], consts["scalars"])
+
+        new_state = {
+            "rho_n": outs[0],
+            "nE": outs[1],
+            "rho_i": [outs[2 + 2 * z] for z in range(Z)],
+            "mom_i": [outs[3 + 2 * z] for z in range(Z)],
+        }
+        extras = {
+            "j_d": outs[n_state][:, 0],
+            "Te": outs[n_state + 1],
+            "ne": outs[n_state + 2],
+            "E": outs[n_state + 3],
+            "nn": outs[n_state + 4],
+        }
+        return new_state, extras
+
+    return step
+
+
+def _pack_consts(params: dict, base_B, cfg: SolverConfig):
+    """Per-sample static-in-time profiles + packed scalar block (B, 128)."""
+    from hallthrusterpem_tpu.models.thruster.config import background_neutral_ingestion_flux
+    from hallthrusterpem_tpu.models.thruster.solver import anomalous_profile
+
+    B = params["V_d"].shape[0]
+    z = jnp.asarray(cfg.cell_centers(), jnp.float32)
+    Bfield = jnp.asarray(base_B, jnp.float32)[None, :] * params["B_hat"][:, None]
+    omega = _E * Bfield / _ME
+    p32 = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
+    alpha = jax.vmap(lambda p: anomalous_profile(p, z, cfg))(p32)
+    nu_anom = alpha * omega
+
+    pad = LANES - cfg.nc
+    padp = lambda x: jnp.pad(x, ((0, 0), (0, pad)))
+    mdot_in = params["mdot_a"] + background_neutral_ingestion_flux(params["P_b"], params["f_n"], cfg)
+
+    scalars = jnp.zeros((B, 128), jnp.float32)
+    scalars = scalars.at[:, _P_DV].set(params["V_d"] - params["V_cc"])
+    scalars = scalars.at[:, _P_MDOT].set(mdot_in)
+    scalars = scalars.at[:, _P_UN].set(jnp.maximum(params["u_n"], 10.0))
+    scalars = scalars.at[:, _P_CW].set(params["c_w"])
+    scalars = scalars.at[:, _P_TECATH].set(params["T_e_cath"])
+    return {"nu_anom": padp(nu_anom), "omega_ce": padp(omega), "scalars": scalars}
+
+
+def _initial_state(params: dict, cfg: SolverConfig) -> dict:
+    """Batched (B, LANES) initial state — same seeding as solver.py."""
+    B = params["V_d"].shape[0]
+    Z = cfg.ncharge
+    mi = cfg.mi
+    z = jnp.asarray(cfg.cell_centers(), jnp.float32)
+    z_ch = cfg.geometry.channel_length
+    L = cfg.domain[1] - cfg.domain[0]
+    pad = LANES - cfg.nc
+    padp = lambda x: jnp.pad(x, ((0, 0), (0, pad)))
+
+    from hallthrusterpem_tpu.models.thruster.config import background_neutral_ingestion_flux
+
+    mdot_in = params["mdot_a"] + background_neutral_ingestion_flux(params["P_b"], params["f_n"], cfg)
+    u_n = jnp.maximum(params["u_n"], 10.0)
+    rho_inj = (mdot_in / (cfg.geometry.channel_area * u_n))[:, None]
+    dV = (params["V_d"] - params["V_cc"])[:, None]
+
+    rho_n0 = jnp.broadcast_to(rho_inj, (B, cfg.nc))
+    n_prof = 2e17 + 1e18 * jnp.exp(-(((z - z_ch) / (0.3 * z_ch)) ** 2))
+    u_bohm0 = float(np.sqrt(_E * 3.0 / mi))
+    u_exit0 = jnp.sqrt(2.0 * _E * jnp.maximum(dV, 50.0) / mi)
+    frac = jnp.clip((z - 0.5 * z_ch) / (L - 0.5 * z_ch), 0.0, 1.0)[None, :]
+    u0 = -u_bohm0 * (1.0 - frac) + u_exit0 * frac**2
+    Te0 = 3.0 + 0.04 * jnp.maximum(dV, 50.0) * jnp.exp(-(((z - z_ch) / (0.4 * z_ch)) ** 2))[None, :]
+
+    rho_i0, mom_i0, ne0 = [], [], jnp.zeros((B, cfg.nc), jnp.float32)
+    for zi in range(Z):
+        r = jnp.broadcast_to(n_prof * mi * (0.25**zi), (B, cfg.nc)).astype(jnp.float32)
+        rho_i0.append(padp(r))
+        mom_i0.append(padp(r * u0))
+        ne0 = ne0 + (zi + 1) * r / mi
+    nE0 = 1.5 * ne0 * Te0
+
+    return {
+        "rho_n": padp(rho_n0.astype(jnp.float32)),
+        "nE": padp(nE0.astype(jnp.float32)),
+        "rho_i": rho_i0,
+        "mom_i": mom_i0,
+    }
+
+
+@partial(jax.jit, static_argnames=("cfg", "interpret"))
+def simulate_batch_pallas(params: dict, base_B, cfg: SolverConfig, interpret: bool = False) -> dict:
+    """Drop-in for :func:`..solver.simulate_batch` built on the fused Pallas step.
+
+    Batch must be a multiple of TILE_B (pad upstream). Returns the same
+    time-averaged output dict as the lax path.
+    """
+    Z = cfg.ncharge
+    NC = cfg.nc
+    mi = cfg.mi
+    A_ch = cfg.geometry.channel_area
+    a_i2 = 1.380649e-23 * cfg.ion_temp_K / mi
+    zq = jnp.arange(1, Z + 1, dtype=jnp.float32)
+    params = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
+    B = params["V_d"].shape[0]
+
+    step = build_step_kernel(cfg, interpret=interpret)
+    consts = _pack_consts(params, base_B, cfg)
+    state0 = _initial_state(params, cfg)
+    z = jnp.asarray(cfg.cell_centers(), jnp.float32)
+    exit_ix = NC - 2
+    rho_floor = 1e10 * mi
+
+    def body(carry, _):
+        state, accum, i, failed = carry
+        state, ex = step(state, consts)
+
+        u_exit = []
+        thrust = jnp.zeros((B,), jnp.float32)
+        I_B0 = jnp.zeros((B,), jnp.float32)
+        mdot_ion = jnp.zeros((B,), jnp.float32)
+        for zi in range(Z):
+            r = state["rho_i"][zi][:, exit_ix]
+            m = state["mom_i"][zi][:, exit_ix]
+            u = m / jnp.maximum(r, rho_floor)
+            u_exit.append(u)
+            thrust += A_ch * (m * u + r * a_i2)
+            I_B0 += A_ch * _E * (zi + 1) * r / mi * u
+            mdot_ion += A_ch * m
+        I_d = ex["j_d"] * A_ch
+        failed = failed | ~jnp.isfinite(I_d)
+
+        w = (i >= cfg.avg_start_step).astype(jnp.float32)
+        ui_prof = jnp.stack(
+            [state["mom_i"][zi] / jnp.maximum(state["rho_i"][zi], rho_floor) for zi in range(Z)], axis=1
+        )
+        new_accum = {
+            "thrust": accum["thrust"] + w * thrust,
+            "I_d": accum["I_d"] + w * I_d,
+            "I_d2": accum["I_d2"] + w * I_d * I_d,
+            "I_B0": accum["I_B0"] + w * I_B0,
+            "mdot_ion": accum["mdot_ion"] + w * mdot_ion,
+            "u_exit1": accum["u_exit1"] + w * u_exit[0],
+            "ui": accum["ui"] + w * ui_prof[:, :, :NC],
+            "Te": accum["Te"] + w * ex["Te"][:, :NC],
+            "ne": accum["ne"] + w * ex["ne"][:, :NC],
+            "E": accum["E"] + w * ex["E"][:, :NC],
+            "nn": accum["nn"] + w * ex["nn"][:, :NC],
+        }
+        return (state, new_accum, i + 1, failed), None
+
+    accum0 = {
+        "thrust": jnp.zeros((B,)), "I_d": jnp.zeros((B,)), "I_d2": jnp.zeros((B,)),
+        "I_B0": jnp.zeros((B,)), "mdot_ion": jnp.zeros((B,)), "u_exit1": jnp.zeros((B,)),
+        "ui": jnp.zeros((B, Z, NC)), "Te": jnp.zeros((B, NC)), "ne": jnp.zeros((B, NC)),
+        "E": jnp.zeros((B, NC)), "nn": jnp.zeros((B, NC)),
+    }
+    (state_f, accum, _, failed), _ = jax.lax.scan(
+        body, (state0, accum0, jnp.zeros((), jnp.int32), jnp.zeros((B,), bool)),
+        None, length=cfg.num_steps,
+    )
+
+    n_avg = float(max(cfg.num_steps - cfg.avg_start_step, 1))
+    nanify = lambda v: jnp.where(
+        failed.reshape((B,) + (1,) * (v.ndim - 1)), jnp.nan, v / n_avg
+    )
+    avg = {k: nanify(v) for k, v in accum.items()}
+
+    thrust, I_d, I_B0 = avg["thrust"], avg["I_d"], avg["I_B0"]
+    E_avg = avg["E"]
+    dz = cfg.dz
+    phi = params["V_d"][:, None] - jnp.concatenate(
+        [jnp.zeros((B, 1)), jnp.cumsum(0.5 * (E_avg[:, 1:] + E_avg[:, :-1]) * dz, axis=1)], axis=1
+    )
+    alpha_prof = consts["nu_anom"][:, :NC]
+    return {
+        "thrust": thrust,
+        "discharge_current": I_d,
+        "discharge_current_std": jnp.sqrt(jnp.maximum(avg["I_d2"] - I_d**2, 0.0)),
+        "ion_current": I_B0,
+        "current_eff": I_B0 / I_d,
+        "mass_eff": avg["mdot_ion"] / params["mdot_a"],
+        "voltage_eff": avg["u_exit1"] ** 2 * mi / (2 * _E * jnp.maximum(params["V_d"], 1.0)),
+        "anode_eff": thrust**2 / (2 * params["mdot_a"] * jnp.maximum(I_d * params["V_d"], 1e-6)),
+        "ui": avg["ui"],
+        "z": jnp.broadcast_to(z, (B, NC)),
+        "Tev": avg["Te"],
+        "ne": avg["ne"],
+        "nn": avg["nn"],
+        "potential": phi,
+        "E": E_avg,
+        "nu_anom": alpha_prof,
+        "B": jnp.asarray(base_B, jnp.float32)[None, :] * params["B_hat"][:, None],
+    }

@@ -35,6 +35,26 @@ class Reaction:
     z_to: int
     energy_eV: float  # threshold / energy cost per event
     table: tuple  # rate coefficients on TE_GRID (m^3/s), as tuple for hashability
+    log_poly: tuple = ()  # ln k = polyval(log_poly, ln Te) — the smooth ground truth
+
+
+_K_FLOOR = 1e-32  # m^3/s — rates below this are physically negligible
+
+
+def fit_log_poly(table: np.ndarray, degree: int = 10) -> np.ndarray:
+    """Fit ln(k) as a polynomial in ln(Te) over TE_GRID (floored at _K_FLOOR).
+
+    The smooth fit *is* the canonical rate model: the lookup table is resampled
+    from it, so the table-interpolation (lax) path and the closed-form polynomial
+    (Pallas kernel) path agree to interpolation error by construction.
+    """
+    x = np.log(TE_GRID)
+    y = np.log(np.maximum(np.asarray(table, dtype=np.float64), _K_FLOOR))
+    return np.polyfit(x, y, degree)
+
+
+def _resample(coeffs: np.ndarray) -> np.ndarray:
+    return np.exp(np.polyval(coeffs, np.log(TE_GRID)))
 
 
 def _maxwellian_rate(sigma_fn, Te_eV: np.ndarray) -> np.ndarray:
@@ -107,23 +127,43 @@ def build_reactions(propellant: str, ncharge: int) -> list[Reaction]:
             # total energy cost = sum of successive thresholds
             cost = sum(E[z] for z in range(z_from + 1, z_to + 1))
             if z_from == 0 and z_to == 1 and propellant == "Xenon":
-                table = _goebel_katz_iz_rate(TE_GRID)
+                raw = _goebel_katz_iz_rate(TE_GRID)
             else:
                 # direct multi-ionization is suppressed ~5x per extra electron removed
                 scale = 0.2 ** (z_to - z_from - 1)
                 q = _LOTZ_Q.get(z_from, 3)
-                table = scale * _maxwellian_rate(_lotz_sigma(cost, q, b=0.6 if z_from == 0 else 0.0), TE_GRID)
-            reactions.append(Reaction(z_from, z_to, cost, tuple(float(v) for v in table)))
+                raw = scale * _maxwellian_rate(_lotz_sigma(cost, q, b=0.6 if z_from == 0 else 0.0), TE_GRID)
+            coeffs = fit_log_poly(raw)
+            table = _resample(coeffs)
+            reactions.append(
+                Reaction(z_from, z_to, cost, tuple(float(v) for v in table),
+                         tuple(float(c) for c in coeffs))
+            )
     return reactions
 
 
 def excitation_table(propellant: str) -> tuple[np.ndarray, float]:
-    """(rate table on TE_GRID, energy per event in eV) for effective excitation."""
+    """(rate table on TE_GRID, energy per event in eV) for effective excitation.
+    Table is resampled from the smooth log-poly fit (see :func:`fit_log_poly`)."""
     if propellant == "Xenon":
-        return _goebel_katz_ex_rate(TE_GRID), _EX_ENERGY["Xenon"]
-    # Lotz-like excitation surrogate for other propellants
-    E = _EX_ENERGY.get(propellant, 10.0)
-    return _maxwellian_rate(_lotz_sigma(E, 6), TE_GRID) * 2.0, E
+        raw = _goebel_katz_ex_rate(TE_GRID)
+        E = _EX_ENERGY["Xenon"]
+    else:
+        E = _EX_ENERGY.get(propellant, 10.0)
+        raw = _maxwellian_rate(_lotz_sigma(E, 6), TE_GRID) * 2.0
+    return _resample(fit_log_poly(raw)), E
+
+
+def excitation_log_poly(propellant: str) -> tuple[np.ndarray, float]:
+    """(log-poly coefficients, energy per event) — kernel-path twin of
+    :func:`excitation_table`."""
+    if propellant == "Xenon":
+        raw = _goebel_katz_ex_rate(TE_GRID)
+        E = _EX_ENERGY["Xenon"]
+    else:
+        E = _EX_ENERGY.get(propellant, 10.0)
+        raw = _maxwellian_rate(_lotz_sigma(E, 6), TE_GRID) * 2.0
+    return fit_log_poly(raw), E
 
 
 # Electron-neutral elastic momentum-transfer rate (m^3/s): constant Landmark-style

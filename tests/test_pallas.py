@@ -1,0 +1,43 @@
+"""Pallas fused-step kernel vs the pure-lax solver (interpret mode on CPU).
+
+The kernel must reproduce the lax path's physics: identical discretization, so the
+time-averaged QoIs agree to float32 tolerance (rates differ only by the in-kernel
+log-polynomial fit of the same tables, <~2%)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hallthrusterpem_tpu.models.thruster.config import SolverConfig, make_params
+from hallthrusterpem_tpu.models.thruster.solver import simulate_batch
+from hallthrusterpem_tpu.models.thruster.pallas_step import simulate_batch_pallas, TILE_B
+
+
+@pytest.mark.parametrize("ncharge", [1, 2])
+def test_pallas_matches_lax(ncharge):
+    B = TILE_B
+    nsteps = 3000
+    cfg = SolverConfig(
+        num_cells=60, ncharge=ncharge, dt=8e-9, duration=nsteps * 8e-9,
+        average_start_time=nsteps // 2 * 8e-9,
+    )
+    z = cfg.cell_centers()
+    s = np.where(z < 0.025, 0.011, 0.018)
+    base_B = jnp.asarray(0.016 * np.exp(-0.5 * ((z - 0.025) / s) ** 2), jnp.float32)
+    vd = np.linspace(280, 320, B).astype(np.float32)
+    params = make_params({"V_d": vd, "V_cc": 30.0, "mdot_a": 5e-6, "P_b": 1e-5})
+
+    ref = {k: np.asarray(v) for k, v in simulate_batch(params, base_B, cfg).items()}
+    got = {k: np.asarray(v) for k, v in
+           simulate_batch_pallas(params, base_B, cfg, interpret=True).items()}
+
+    assert not np.isnan(got["thrust"]).any()
+    for key, tol in [("thrust", 0.05), ("discharge_current", 0.08), ("ion_current", 0.05)]:
+        rel = np.abs(got[key] - ref[key]) / np.abs(ref[key])
+        assert np.max(rel) < tol, (key, got[key], ref[key])
+    # profiles agree in shape and broad magnitude
+    assert got["ui"].shape == ref["ui"].shape
+    u_rel = np.abs(got["ui"][:, 0, -2] - ref["ui"][:, 0, -2]) / np.abs(ref["ui"][:, 0, -2])
+    assert np.max(u_rel) < 0.05
+    te_rel = abs(got["Tev"].max() - ref["Tev"].max()) / ref["Tev"].max()
+    assert te_rel < 0.25
