@@ -25,6 +25,7 @@ from hallthrusterpem_tpu.data.loader import (
     load_ht_datasets,
     data_to_arrays,
     pem_to_dataentries,
+    pem_to_xarray,
 )
 
 __all__ = [
@@ -39,4 +40,5 @@ __all__ = [
     "load_ht_datasets",
     "data_to_arrays",
     "pem_to_dataentries",
+    "pem_to_xarray",
 ]

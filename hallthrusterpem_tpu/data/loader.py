@@ -267,6 +267,29 @@ def data_to_arrays(entries: list[DataEntry], qoi: str):
     return ops, vals, stds
 
 
+def pem_to_xarray(operating_conditions, outputs, sweep_radii=None, use_corrected_thrust=True):
+    """xarray-backed variant of :func:`pem_to_dataentries` (reference
+    ``data.py:239-278`` returns xarray DataArrays). Falls back to plain ndarray
+    DataFields when xarray is not installed."""
+    entries = pem_to_dataentries(operating_conditions, outputs, sweep_radii, use_corrected_thrust)
+    try:
+        import xarray as xr
+    except ImportError:
+        return entries
+    for e in entries:
+        for name, f in e.data.items():
+            if f.coords:
+                dims = list(f.coords)
+                coords = {d: np.atleast_1d(f.coords[d]) for d in dims}
+                val = np.asarray(f.val)
+                if name == "ion current density" and "r" in coords and val.ndim == 1:
+                    val = val[None, :] if len(coords["r"]) == 1 else val
+                f.val = xr.DataArray(val, coords=coords, dims=dims[: val.ndim])
+            else:
+                f.val = xr.DataArray(f.val)
+    return entries
+
+
 def pem_to_dataentries(operating_conditions, outputs, sweep_radii=None, use_corrected_thrust=True):
     """Convert batched PEM outputs to DataEntry records for model-data comparison
     (the reference's ``pem_to_xarray``, ``data.py:239-278``, without the xarray
