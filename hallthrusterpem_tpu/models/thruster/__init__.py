@@ -153,7 +153,19 @@ def run_simulation(json_input: dict, **_compat) -> dict:
     if scalar_in:
         params = {k: jnp.reshape(v, (1,)) for k, v in params.items()}
 
-    raw = simulate_batch(params, jnp.asarray(base_B, jnp.float32), cfg)
+    # chunked dispatch by default on TPU (short device programs are robust against
+    # shared-worker watchdogs/preemption; numerically identical — solver.py)
+    import os
+
+    import jax
+
+    chunk = int(os.environ.get("HTPEM_CHUNK_STEPS", "2000"))
+    if chunk > 0 and jax.default_backend() == "tpu" and cfg.num_steps > chunk:
+        from hallthrusterpem_tpu.models.thruster.solver import simulate_batch_chunked
+
+        raw = simulate_batch_chunked(params, jnp.asarray(base_B, jnp.float32), cfg, chunk_steps=chunk)
+    else:
+        raw = simulate_batch(params, jnp.asarray(base_B, jnp.float32), cfg)
     raw = {k: np.asarray(v) for k, v in raw.items()}
     if scalar_in:
         raw = {k: v[0] for k, v in raw.items()}

@@ -337,7 +337,9 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
         I_B0 = A_ch * _E * jnp.sum(zq * rho_i_new[:, exit_ix] / mi * u_exit)
         mdot_ion = A_ch * jnp.sum(mom_i_new[:, exit_ix])
 
-        w_avg = (i >= cfg.avg_start_step).astype(f)
+        # accumulate only inside [avg_start_step, num_steps): the upper gate makes
+        # chunked dispatch exact when the chunk count overshoots num_steps
+        w_avg = ((i >= cfg.avg_start_step) & (i < cfg.num_steps)).astype(f)
         ui_prof = mom_i_new / jnp.maximum(rho_i_new, rho_floor)
         new_accum = {
             "thrust": accum["thrust"] + w_avg * thrust,
@@ -373,6 +375,15 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
         return step, carry0
 
     (state_f, accum, _, failed), _ = jax.lax.scan(step, carry0, None, length=cfg.num_steps)
+    return _finalize_one(p, accum, failed, nu_anom, B, cfg)
+
+
+def _finalize_one(p: dict, accum: dict, failed, nu_anom, B, cfg: SolverConfig) -> dict:
+    """Turn the running sums of one sample into the time-averaged output dict."""
+    f = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    mi = cfg.mi
+    dz = cfg.dz
+    z = jnp.asarray(cfg.cell_centers(), f)
 
     n_avg = jnp.asarray(max(cfg.num_steps - cfg.avg_start_step, 1), f)
     # failed samples surface as NaN (the wrapper and gen_data mask them out)
@@ -422,3 +433,49 @@ def simulate_batch(params: dict, base_B, cfg: SolverConfig) -> dict:
     :returns: dict of (batch, ...) time-averaged outputs
     """
     return jax.vmap(lambda q: _simulate_one(q, base_B, cfg))(params)
+
+
+# ---------------------------------------------------------------------------------
+# chunked dispatch: the same simulation split into fixed-length scan segments with
+# the carry held on device between dispatches. Numerically identical to
+# simulate_batch (the accumulation window is gated inside the step), but each
+# device program is short — robust against runtime watchdogs/preemption on shared
+# TPU workers, and it gives the host a natural progress/checkpoint hook.
+# ---------------------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("cfg",))
+def _init_batch(params: dict, base_B, cfg: SolverConfig):
+    return jax.vmap(lambda p: _simulate_one(p, base_B, cfg, _return_step=True)[1])(params)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps"))
+def _segment_batch(params: dict, base_B, carry, cfg: SolverConfig, n_steps: int):
+    def one(p, c):
+        step, _ = _simulate_one(p, base_B, cfg, _return_step=True)
+        return jax.lax.scan(lambda cc, _: step(cc, None), c, None, length=n_steps)[0]
+
+    return jax.vmap(one)(params, carry)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _finalize_batch(params: dict, carry, base_B, cfg: SolverConfig):
+    z = jnp.asarray(cfg.cell_centers(), jnp.float32)
+
+    def one(p, c):
+        _, accum, _, failed = c
+        B = jnp.asarray(base_B, jnp.float32) * p["B_hat"]
+        nu_anom = anomalous_profile(p, z, cfg) * (_E * B / _ME)
+        return _finalize_one(p, accum, failed, nu_anom, B, cfg)
+
+    return jax.vmap(one)(params, carry)
+
+
+def simulate_batch_chunked(params: dict, base_B, cfg: SolverConfig, chunk_steps: int = 2000) -> dict:
+    """:func:`simulate_batch` with the time loop split into ``chunk_steps``-sized
+    device dispatches (bit-identical results; see block comment above)."""
+    params = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
+    base_B = jnp.asarray(base_B, jnp.float32)
+    carry = _init_batch(params, base_B, cfg)
+    n_segments = -(-cfg.num_steps // chunk_steps)
+    for _ in range(n_segments):
+        carry = _segment_batch(params, base_B, carry, cfg, chunk_steps)
+    return _finalize_batch(params, carry, base_B, cfg)

@@ -97,8 +97,32 @@ class CoupledPEM:
         self.base_B = jnp.asarray(_load_bfield(device, self.cfg), jnp.float32)
         self.sweep_radius = sweep_radius
         self._jitted = jax.jit(partial(_coupled_forward, cfg=self.cfg))
+        self._pre = jax.jit(partial(_coupled_pre, cfg=self.cfg))
+        self._post = jax.jit(partial(_coupled_post, cfg=self.cfg))
 
-    def __call__(self, inputs: dict) -> dict:
+    def __call__(self, inputs: dict, chunk_steps: Optional[int] = None) -> dict:
+        """Evaluate the coupled PEM. On TPU the solver time loop is dispatched in
+        chunks by default (robust on shared workers; numerically identical) —
+        pass ``chunk_steps=0`` to force the single fused program."""
+        import os
+
+        if chunk_steps is None:
+            chunk_steps = int(os.environ.get("HTPEM_CHUNK_STEPS", "2000"))
+            if jax.default_backend() != "tpu":
+                chunk_steps = 0
+        if chunk_steps and self.cfg.num_steps > chunk_steps:
+            from hallthrusterpem_tpu.models.thruster.solver import (
+                _finalize_batch,
+                _init_batch,
+                _segment_batch,
+            )
+
+            solver_params, v_cc = self._pre(inputs)
+            carry = _init_batch(solver_params, self.base_B, self.cfg)
+            for _ in range(-(-self.cfg.num_steps // chunk_steps)):
+                carry = _segment_batch(solver_params, self.base_B, carry, self.cfg, chunk_steps)
+            sol = _finalize_batch(solver_params, carry, self.base_B, self.cfg)
+            return self._post(inputs, v_cc, sol, sweep_radius=self.sweep_radius)
         return self._jitted(inputs, base_B=self.base_B, sweep_radius=self.sweep_radius)
 
     @property
@@ -110,17 +134,13 @@ class CoupledPEM:
         return default_coupled_inputs(batch, key)
 
 
-def _coupled_forward(inputs: dict, base_B, sweep_radius, cfg: SolverConfig) -> dict:
-    """cathode -> thruster -> plume, fully traced (no host round-trips)."""
+def _coupled_pre(inputs: dict, cfg: SolverConfig):
+    """Stage 1: cathode model + solver parameter assembly."""
     x = {k: jnp.asarray(v, jnp.float32) for k, v in inputs.items()}
-
-    # 1) cathode coupling voltage
     v_cc = cathode_coupling(
         {"P_b": x["P_b"], "V_a": x["V_a"], "T_e": x["T_e"],
          "V_vac": x["V_vac"], "Pstar": x["Pstar"], "P_T": x["P_T"]}
     )["V_cc"]
-
-    # 2) discharge solve (vmapped over the batch)
     solver_params = make_params(
         {
             "V_d": x["V_a"], "V_cc": v_cc, "mdot_a": x["mdot_a"], "P_b": x["P_b"],
@@ -130,16 +150,18 @@ def _coupled_forward(inputs: dict, base_B, sweep_radius, cfg: SolverConfig) -> d
         },
         batch_shape=x["V_a"].shape,
     )
-    sol = jax.vmap(lambda q: _simulate_one(q, base_B, cfg))(solver_params)
+    return solver_params, v_cc
 
-    # 3) plume current density (uses solver beam current + thrust)
+
+def _coupled_post(inputs: dict, v_cc, sol: dict, sweep_radius, cfg: SolverConfig) -> dict:
+    """Stage 3: plume model + output assembly from solver results."""
+    x = {k: jnp.asarray(v, jnp.float32) for k, v in inputs.items()}
     plume = current_density(
         {"P_b": x["P_b"], "c0": x["c0"], "c1": x["c1"], "c2": x["c2"], "c3": x["c3"],
          "c4": x["c4"], "c5": x["c5"], "sigma_cex": x["sigma_cex"],
          "I_B0": sol["ion_current"], "T": sol["thrust"]},
         sweep_radius=sweep_radius,
     )
-
     return {
         "V_cc": v_cc,
         "T": sol["thrust"],
@@ -157,3 +179,10 @@ def _coupled_forward(inputs: dict, base_B, sweep_radius, cfg: SolverConfig) -> d
         "T_c": plume["T_c"],
         "I_d_std": sol["discharge_current_std"],
     }
+
+
+def _coupled_forward(inputs: dict, base_B, sweep_radius, cfg: SolverConfig) -> dict:
+    """cathode -> thruster -> plume, fully traced as ONE program (no host hops)."""
+    solver_params, v_cc = _coupled_pre(inputs, cfg)
+    sol = jax.vmap(lambda q: _simulate_one(q, base_B, cfg))(solver_params)
+    return _coupled_post(inputs, v_cc, sol, sweep_radius, cfg)
