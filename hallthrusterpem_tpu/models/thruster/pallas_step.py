@@ -426,26 +426,14 @@ def _initial_state(params: dict, cfg: SolverConfig) -> dict:
     }
 
 
-@partial(jax.jit, static_argnames=("cfg", "interpret"))
-def simulate_batch_pallas(params: dict, base_B, cfg: SolverConfig, interpret: bool = False) -> dict:
-    """Drop-in for :func:`..solver.simulate_batch` built on the fused Pallas step.
-
-    Batch must be a multiple of TILE_B (pad upstream). Returns the same
-    time-averaged output dict as the lax path.
-    """
+def make_batch_step(cfg: SolverConfig, consts: dict, interpret: bool = False):
+    """One full timestep + accumulation over a (B, LANES) batched carry."""
     Z = cfg.ncharge
     NC = cfg.nc
     mi = cfg.mi
     A_ch = cfg.geometry.channel_area
     a_i2 = 1.380649e-23 * cfg.ion_temp_K / mi
-    zq = jnp.arange(1, Z + 1, dtype=jnp.float32)
-    params = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
-    B = params["V_d"].shape[0]
-
     step = build_step_kernel(cfg, interpret=interpret)
-    consts = _pack_consts(params, base_B, cfg)
-    state0 = _initial_state(params, cfg)
-    z = jnp.asarray(cfg.cell_centers(), jnp.float32)
     exit_ix = NC - 2
     rho_floor = 1e10 * mi
 
@@ -453,6 +441,7 @@ def simulate_batch_pallas(params: dict, base_B, cfg: SolverConfig, interpret: bo
         state, accum, i, failed = carry
         state, ex = step(state, consts)
 
+        B = ex["j_d"].shape[0]
         u_exit = []
         thrust = jnp.zeros((B,), jnp.float32)
         I_B0 = jnp.zeros((B,), jnp.float32)
@@ -468,7 +457,7 @@ def simulate_batch_pallas(params: dict, base_B, cfg: SolverConfig, interpret: bo
         I_d = ex["j_d"] * A_ch
         failed = failed | ~jnp.isfinite(I_d)
 
-        w = (i >= cfg.avg_start_step).astype(jnp.float32)
+        w = ((i >= cfg.avg_start_step) & (i < cfg.num_steps)).astype(jnp.float32)
         ui_prof = jnp.stack(
             [state["mom_i"][zi] / jnp.maximum(state["rho_i"][zi], rho_floor) for zi in range(Z)], axis=1
         )
@@ -487,16 +476,38 @@ def simulate_batch_pallas(params: dict, base_B, cfg: SolverConfig, interpret: bo
         }
         return (state, new_accum, i + 1, failed), None
 
+    return body
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _pallas_init(params: dict, base_B, cfg: SolverConfig):
+    B = params["V_d"].shape[0]
+    Z = cfg.ncharge
+    NC = cfg.nc
+    state0 = _initial_state(params, cfg)
     accum0 = {
         "thrust": jnp.zeros((B,)), "I_d": jnp.zeros((B,)), "I_d2": jnp.zeros((B,)),
         "I_B0": jnp.zeros((B,)), "mdot_ion": jnp.zeros((B,)), "u_exit1": jnp.zeros((B,)),
         "ui": jnp.zeros((B, Z, NC)), "Te": jnp.zeros((B, NC)), "ne": jnp.zeros((B, NC)),
         "E": jnp.zeros((B, NC)), "nn": jnp.zeros((B, NC)),
     }
-    (state_f, accum, _, failed), _ = jax.lax.scan(
-        body, (state0, accum0, jnp.zeros((), jnp.int32), jnp.zeros((B,), bool)),
-        None, length=cfg.num_steps,
-    )
+    return (state0, accum0, jnp.zeros((), jnp.int32), jnp.zeros((B,), bool))
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "interpret"))
+def _pallas_segment(params: dict, consts: dict, carry, cfg: SolverConfig, n_steps: int,
+                    interpret: bool = False):
+    body = make_batch_step(cfg, consts, interpret=interpret)
+    return jax.lax.scan(body, carry, None, length=n_steps)[0]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _pallas_finalize(params: dict, carry, consts: dict, base_B, cfg: SolverConfig):
+    _, accum, _, failed = carry
+    B = params["V_d"].shape[0]
+    NC = cfg.nc
+    mi = cfg.mi
+    z = jnp.asarray(cfg.cell_centers(), jnp.float32)
 
     n_avg = float(max(cfg.num_steps - cfg.avg_start_step, 1))
     nanify = lambda v: jnp.where(
@@ -530,3 +541,35 @@ def simulate_batch_pallas(params: dict, base_B, cfg: SolverConfig, interpret: bo
         "nu_anom": alpha_prof,
         "B": jnp.asarray(base_B, jnp.float32)[None, :] * params["B_hat"][:, None],
     }
+
+
+def simulate_batch_pallas(
+    params: dict,
+    base_B,
+    cfg: SolverConfig,
+    interpret: bool = False,
+    chunk_steps: int = 0,
+) -> dict:
+    """Drop-in for :func:`..solver.simulate_batch` built on the fused Pallas step.
+
+    The batch is padded to a TILE_B multiple internally (padded rows surface as
+    extra samples and are dropped). ``chunk_steps > 0`` splits the time loop into
+    short device dispatches (see solver.py's chunked-dispatch rationale).
+    """
+    params = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
+    B0 = params["V_d"].shape[0]
+    pad = (-B0) % TILE_B
+    if pad:
+        params = {k: jnp.concatenate([v, jnp.repeat(v[-1:], pad, axis=0)]) for k, v in params.items()}
+
+    consts = _pack_consts(params, base_B, cfg)
+    carry = _pallas_init(params, base_B, cfg)
+    if chunk_steps and cfg.num_steps > chunk_steps:
+        for _ in range(-(-cfg.num_steps // chunk_steps)):
+            carry = _pallas_segment(params, consts, carry, cfg, chunk_steps, interpret)
+    else:
+        carry = _pallas_segment(params, consts, carry, cfg, cfg.num_steps, interpret)
+    out = _pallas_finalize(params, carry, consts, base_B, cfg)
+    if pad:
+        out = {k: v[:B0] for k, v in out.items()}
+    return out

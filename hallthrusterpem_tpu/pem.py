@@ -110,6 +110,15 @@ class CoupledPEM:
             chunk_steps = int(os.environ.get("HTPEM_CHUNK_STEPS", "2000"))
             if jax.default_backend() != "tpu":
                 chunk_steps = 0
+        from hallthrusterpem_tpu.models.thruster import solver_backend
+
+        backend, _ = solver_backend(self.cfg)
+        if backend == "pallas":
+            from hallthrusterpem_tpu.models.thruster.pallas_step import simulate_batch_pallas
+
+            solver_params, v_cc = self._pre(inputs)
+            sol = simulate_batch_pallas(solver_params, self.base_B, self.cfg, chunk_steps=chunk_steps)
+            return self._post(inputs, v_cc, sol, sweep_radius=self.sweep_radius)
         if chunk_steps and self.cfg.num_steps > chunk_steps:
             from hallthrusterpem_tpu.models.thruster.solver import (
                 _finalize_batch,
