@@ -154,9 +154,9 @@ def dispatch_solver(params: dict, base_B, cfg: SolverConfig) -> dict:
     """Run the discharge solve with the platform-appropriate backend."""
     backend, chunk = solver_backend(cfg)
     if backend == "pallas":
-        from hallthrusterpem_tpu.models.thruster.pallas_step import simulate_batch_pallas
+        from hallthrusterpem_tpu.models.thruster.pallas_step import simulate_batch_pallas_multi
 
-        return simulate_batch_pallas(params, base_B, cfg, chunk_steps=chunk)
+        return simulate_batch_pallas_multi(params, base_B, cfg)
     if chunk > 0 and cfg.num_steps > chunk:
         from hallthrusterpem_tpu.models.thruster.solver import simulate_batch_chunked
 

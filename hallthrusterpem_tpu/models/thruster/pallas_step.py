@@ -64,10 +64,9 @@ def _roll(x, shift: int):
     return pltpu.roll(x, shift % LANES, axis=1)
 
 
-def build_step_kernel(cfg: SolverConfig, interpret: bool = False):
-    """Build ``step(state, consts) -> (state', extras)`` where arrays are
-    (B, LANES) with B a multiple of TILE_B. ``consts`` carries the static-in-time
-    per-sample profiles (nu_anom, omega_ce, channel mask) and packed scalars."""
+def make_physics(cfg: SolverConfig):
+    """Build the pure single-timestep physics function over (TILE_B, LANES) values
+    (the kernel wrappers — one-step and K-step — both call this)."""
     NC = cfg.nc
     if NC > LANES - 2:
         raise ValueError(f"num_cells={cfg.num_cells} exceeds the {LANES}-lane kernel layout")
@@ -87,34 +86,16 @@ def build_step_kernel(cfg: SolverConfig, interpret: bool = False):
 
     rho_floor = float(1e10 * mi)
     ne_floor = 1e12
-    n_state = 2 + 2 * Z  # rho_n, nE, (rho_i, mom_i) x Z
 
-    def kernel(*refs):
-        # inputs: state refs (n_state), nu_anom, omega_ce, scalars
-        (state_refs, (nu_anom_ref, omega_ref, scal_ref),
-         out_refs, (jd_ref, te_ref, ne_ref, e_ref, nn_ref)) = (
-            refs[:n_state], refs[n_state : n_state + 3],
-            refs[n_state + 3 : 2 * n_state + 3], refs[2 * n_state + 3 :],
-        )
+    def physics(rho_n, nE, rho_i, mom_i, nu_anom, omega_ce, dV, mdot_in, u_n, c_w, te_cath):
         lane = _lane_iota()
         interior = (lane >= 1) & (lane <= NC - 2)
         in_domain = lane <= NC - 1
         fint = jnp.float32
         interior_f = interior.astype(fint)
+        rho_i = list(rho_i)
+        mom_i = list(mom_i)
 
-        rho_n = state_refs[0][:, :]
-        nE = state_refs[1][:, :]
-        rho_i = [state_refs[2 + 2 * z][:, :] for z in range(Z)]
-        mom_i = [state_refs[3 + 2 * z][:, :] for z in range(Z)]
-
-        dV = scal_ref[:, _P_DV][:, None]
-        mdot_in = scal_ref[:, _P_MDOT][:, None]
-        u_n = scal_ref[:, _P_UN][:, None]
-        c_w = scal_ref[:, _P_CW][:, None]
-        te_cath = scal_ref[:, _P_TECATH][:, None]
-
-        nu_anom = nu_anom_ref[:, :]
-        omega_ce = omega_ref[:, :]
         z_cell = jnp.where(lane == 0, 0.0, (lane.astype(fint) - 0.5) * dz)
         z_cell = jnp.where(lane >= NC - 1, cfg.domain[1] - cfg.domain[0], z_cell)
         in_channel = (z_cell <= cfg.geometry.channel_length).astype(fint)
@@ -305,7 +286,34 @@ def build_step_kernel(cfg: SolverConfig, interpret: bool = False):
         Te_new = jnp.clip(Te_new, cfg.Te_min, cfg.Te_max)
         nE_new = 1.5 * ne_new * Te_new
 
-        # ---- write state + diagnostics
+        return (rho_n_new, nE_new, tuple(rho_new), tuple(mom_new)), (j_d, Te, ne, E_z, nn)
+
+    return physics
+
+
+def build_step_kernel(cfg: SolverConfig, interpret: bool = False):
+    """Build ``step(state, consts) -> (state', extras)`` where arrays are
+    (B, LANES) with B a multiple of TILE_B — ONE timestep per kernel launch."""
+    Z = cfg.ncharge
+    n_state = 2 + 2 * Z  # rho_n, nE, (rho_i, mom_i) x Z
+    physics = make_physics(cfg)
+
+    def kernel(*refs):
+        (state_refs, (nu_anom_ref, omega_ref, scal_ref),
+         out_refs, (jd_ref, te_ref, ne_ref, e_ref, nn_ref)) = (
+            refs[:n_state], refs[n_state : n_state + 3],
+            refs[n_state + 3 : 2 * n_state + 3], refs[2 * n_state + 3 :],
+        )
+        rho_n = state_refs[0][:, :]
+        nE = state_refs[1][:, :]
+        rho_i = tuple(state_refs[2 + 2 * z][:, :] for z in range(Z))
+        mom_i = tuple(state_refs[3 + 2 * z][:, :] for z in range(Z))
+        scal = tuple(scal_ref[:, s][:, None] for s in (_P_DV, _P_MDOT, _P_UN, _P_CW, _P_TECATH))
+
+        (rho_n_new, nE_new, rho_new, mom_new), (j_d, Te, ne, E_z, nn) = physics(
+            rho_n, nE, rho_i, mom_i, nu_anom_ref[:, :], omega_ref[:, :], *scal
+        )
+
         out_refs[0][:, :] = rho_n_new
         out_refs[1][:, :] = nE_new
         for z in range(Z):
@@ -356,6 +364,226 @@ def build_step_kernel(cfg: SolverConfig, interpret: bool = False):
         return new_state, extras
 
     return step
+
+
+# accumulator scalar slots (lanes of the packed (TILE_B, 128) accumulator block)
+_A_THRUST, _A_ID, _A_ID2, _A_IB0, _A_MDOT, _A_UEXIT, _A_FAILED = range(7)
+
+
+def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool = False):
+    """K timesteps per kernel launch with state AND accumulators resident in VMEM
+    (``jax.lax.fori_loop`` inside the kernel). HBM traffic drops from
+    O(arrays * steps) to O(arrays * steps / K); accumulation is exact (same
+    per-step gating as the host path).
+
+    Returns ``stepK(state, prof, scal_acc, consts, i0) -> (state', prof', scal')``
+    where ``prof`` packs [ui_z..., Te, ne, E, nn] as (B, LANES) running sums and
+    ``scal_acc`` is the packed (B, 128) scalar-accumulator block.
+    """
+    Z = cfg.ncharge
+    NC = cfg.nc
+    n_state = 2 + 2 * Z
+    n_prof = Z + 4
+    mi = cfg.mi
+    A_ch = cfg.geometry.channel_area
+    a_i2 = 1.380649e-23 * cfg.ion_temp_K / mi
+    rho_floor = float(1e10 * mi)
+    physics = make_physics(cfg)
+    exit_ix = NC - 2
+
+    def kernel(*refs):
+        i0_ref = refs[0]
+        state_refs = refs[1 : 1 + n_state]
+        prof_refs = refs[1 + n_state : 1 + n_state + n_prof]
+        sacc_ref = refs[1 + n_state + n_prof]
+        nu_anom_ref, omega_ref, scal_ref = refs[2 + n_state + n_prof : 5 + n_state + n_prof]
+        out_state = refs[5 + n_state + n_prof : 5 + 2 * n_state + n_prof]
+        out_prof = refs[5 + 2 * n_state + n_prof : 5 + 2 * n_state + 2 * n_prof]
+        out_sacc = refs[5 + 2 * n_state + 2 * n_prof]
+
+        i0 = i0_ref[0, 0]
+        nu_anom = nu_anom_ref[:, :]
+        omega = omega_ref[:, :]
+        scal = tuple(scal_ref[:, s][:, None] for s in (_P_DV, _P_MDOT, _P_UN, _P_CW, _P_TECATH))
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, 128), dimension=1)
+        slot = lambda s: (lane128 == s).astype(jnp.float32)
+
+        def body(k, carry):
+            (rho_n, nE, rho_i, mom_i, prof, sacc) = carry
+            (rho_n, nE, rho_i, mom_i), (j_d, Te, ne, E_z, nn) = physics(
+                rho_n, nE, rho_i, mom_i, nu_anom, omega, *scal
+            )
+            i = i0 + k
+            w = ((i >= cfg.avg_start_step) & (i < cfg.num_steps)).astype(jnp.float32)
+
+            thrust = jnp.zeros((TILE_B,), jnp.float32)
+            I_B0 = jnp.zeros((TILE_B,), jnp.float32)
+            mdot_ion = jnp.zeros((TILE_B,), jnp.float32)
+            u1 = None
+            new_prof = []
+            for z in range(Z):
+                r_ex = rho_i[z][:, exit_ix]
+                m_ex = mom_i[z][:, exit_ix]
+                u_ex = m_ex / jnp.maximum(r_ex, rho_floor)
+                if z == 0:
+                    u1 = u_ex
+                thrust += A_ch * (m_ex * u_ex + r_ex * a_i2)
+                I_B0 += A_ch * _E * (z + 1) * r_ex / mi * u_ex
+                mdot_ion += A_ch * m_ex
+                new_prof.append(prof[z] + w * mom_i[z] / jnp.maximum(rho_i[z], rho_floor))
+            I_d = j_d[:, 0] * A_ch
+            for off, val in zip(range(4), (Te, ne, E_z, nn)):
+                new_prof.append(prof[Z + off] + w * val)
+
+            contrib = (
+                slot(_A_THRUST) * (w * thrust)[:, None]
+                + slot(_A_ID) * (w * I_d)[:, None]
+                + slot(_A_ID2) * (w * I_d * I_d)[:, None]
+                + slot(_A_IB0) * (w * I_B0)[:, None]
+                + slot(_A_MDOT) * (w * mdot_ion)[:, None]
+                + slot(_A_UEXIT) * (w * u1)[:, None]
+            )
+            failed_flag = 1.0 - jnp.isfinite(I_d).astype(jnp.float32)
+            sacc = jnp.where(
+                lane128 == _A_FAILED,
+                jnp.maximum(sacc, failed_flag[:, None]),
+                sacc + contrib,
+            )
+            return (rho_n, nE, rho_i, mom_i, tuple(new_prof), sacc)
+
+        carry0 = (
+            state_refs[0][:, :],
+            state_refs[1][:, :],
+            tuple(state_refs[2 + 2 * z][:, :] for z in range(Z)),
+            tuple(state_refs[3 + 2 * z][:, :] for z in range(Z)),
+            tuple(prof_refs[j][:, :] for j in range(n_prof)),
+            sacc_ref[:, :],
+        )
+        rho_n, nE, rho_i, mom_i, prof, sacc = jax.lax.fori_loop(0, inner_steps, body, carry0)
+
+        out_state[0][:, :] = rho_n
+        out_state[1][:, :] = nE
+        for z in range(Z):
+            out_state[2 + 2 * z][:, :] = rho_i[z]
+            out_state[3 + 2 * z][:, :] = mom_i[z]
+        for j in range(n_prof):
+            out_prof[j][:, :] = prof[j]
+        out_sacc[:, :] = sacc
+
+    def stepK(state: dict, prof: list, sacc, consts: dict, i0):
+        B = state["rho_n"].shape[0]
+        grid = (B // TILE_B,)
+        tile = lambda: pl.BlockSpec((TILE_B, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        stile = lambda: pl.BlockSpec((TILE_B, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        itile = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+        state_list = [state["rho_n"], state["nE"]]
+        for z in range(cfg.ncharge):
+            state_list += [state["rho_i"][z], state["mom_i"][z]]
+        inputs = [jnp.asarray(i0, jnp.int32).reshape(1, 1)] + state_list + list(prof) + [sacc] + [
+            consts["nu_anom"], consts["omega_ce"], consts["scalars"]
+        ]
+        out_shapes = (
+            [jax.ShapeDtypeStruct((B, LANES), jnp.float32) for _ in range(n_state + n_prof)]
+            + [jax.ShapeDtypeStruct((B, 128), jnp.float32)]
+        )
+        # alias state/accumulator inputs to outputs: true in-place update, no copies
+        aliases = {1 + j: j for j in range(n_state + n_prof)}
+        aliases[1 + n_state + n_prof] = n_state + n_prof
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[itile] + [tile() for _ in range(n_state + n_prof)] + [stile()]
+            + [tile(), tile(), stile()],
+            out_specs=[tile() for _ in range(n_state + n_prof)] + [stile()],
+            out_shape=out_shapes,
+            input_output_aliases=aliases,
+            interpret=interpret,
+        )(*inputs)
+
+        new_state = {
+            "rho_n": outs[0],
+            "nE": outs[1],
+            "rho_i": [outs[2 + 2 * z] for z in range(cfg.ncharge)],
+            "mom_i": [outs[3 + 2 * z] for z in range(cfg.ncharge)],
+        }
+        new_prof = list(outs[n_state : n_state + n_prof])
+        new_sacc = outs[n_state + n_prof]
+        return new_state, new_prof, new_sacc
+
+    return stepK
+
+
+@partial(jax.jit, static_argnames=("cfg", "inner_steps", "n_calls", "interpret"))
+def _pallas_multi_segment(params, consts, state, prof, sacc, i0, cfg: SolverConfig,
+                          inner_steps: int, n_calls: int, interpret: bool = False):
+    """``n_calls`` sequential K-step kernel launches under one jit (outer scan)."""
+    stepK = build_multistep_kernel(cfg, inner_steps, interpret=interpret)
+
+    def body(carry, _):
+        state, prof, sacc, i0 = carry
+        state, prof, sacc = stepK(state, prof, sacc, consts, i0)
+        return (state, prof, sacc, i0 + inner_steps), None
+
+    (state, prof, sacc, i0), _ = jax.lax.scan(
+        body, (state, prof, sacc, i0), None, length=n_calls
+    )
+    return state, prof, sacc, i0
+
+
+def simulate_batch_pallas_multi(
+    params: dict,
+    base_B,
+    cfg: SolverConfig,
+    inner_steps: int = 50,
+    calls_per_dispatch: int = 40,
+    interpret: bool = False,
+) -> dict:
+    """:func:`simulate_batch_pallas` with the K-step VMEM-resident kernel."""
+    params = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
+    B0 = params["V_d"].shape[0]
+    pad = (-B0) % TILE_B
+    if pad:
+        params = {k: jnp.concatenate([v, jnp.repeat(v[-1:], pad, axis=0)]) for k, v in params.items()}
+    B = params["V_d"].shape[0]
+    Z = cfg.ncharge
+    n_prof = Z + 4
+
+    consts = _pack_consts(params, base_B, cfg)
+    state, _accum0, _i, _f = _pallas_init(params, base_B, cfg)
+    prof = [jnp.zeros((B, LANES), jnp.float32) for _ in range(n_prof)]
+    sacc = jnp.zeros((B, 128), jnp.float32)
+    i0 = jnp.zeros((), jnp.int32)
+
+    total_calls = -(-cfg.num_steps // inner_steps)
+    done = 0
+    while done < total_calls:
+        n_calls = min(calls_per_dispatch, total_calls - done)
+        state, prof, sacc, i0 = _pallas_multi_segment(
+            params, consts, state, prof, sacc, i0, cfg, inner_steps, n_calls, interpret
+        )
+        done += n_calls
+
+    # assemble the accumulator dict the shared finalizer expects
+    NC = cfg.nc
+    accum = {
+        "thrust": sacc[:, _A_THRUST],
+        "I_d": sacc[:, _A_ID],
+        "I_d2": sacc[:, _A_ID2],
+        "I_B0": sacc[:, _A_IB0],
+        "mdot_ion": sacc[:, _A_MDOT],
+        "u_exit1": sacc[:, _A_UEXIT],
+        "ui": jnp.stack([prof[z][:, :NC] for z in range(Z)], axis=1),
+        "Te": prof[Z][:, :NC],
+        "ne": prof[Z + 1][:, :NC],
+        "E": prof[Z + 2][:, :NC],
+        "nn": prof[Z + 3][:, :NC],
+    }
+    failed = sacc[:, _A_FAILED] > 0.5
+    out = _pallas_finalize(params, (state, accum, i0, failed), consts, base_B, cfg)
+    if pad:
+        out = {k: v[:B0] for k, v in out.items()}
+    return out
 
 
 def _pack_consts(params: dict, base_B, cfg: SolverConfig):

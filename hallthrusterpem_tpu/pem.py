@@ -114,10 +114,10 @@ class CoupledPEM:
 
         backend, _ = solver_backend(self.cfg)
         if backend == "pallas":
-            from hallthrusterpem_tpu.models.thruster.pallas_step import simulate_batch_pallas
+            from hallthrusterpem_tpu.models.thruster.pallas_step import simulate_batch_pallas_multi
 
             solver_params, v_cc = self._pre(inputs)
-            sol = simulate_batch_pallas(solver_params, self.base_B, self.cfg, chunk_steps=chunk_steps)
+            sol = simulate_batch_pallas_multi(solver_params, self.base_B, self.cfg)
             return self._post(inputs, v_cc, sol, sweep_radius=self.sweep_radius)
         if chunk_steps and self.cfg.num_steps > chunk_steps:
             from hallthrusterpem_tpu.models.thruster.solver import (

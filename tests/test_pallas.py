@@ -10,7 +10,11 @@ import pytest
 
 from hallthrusterpem_tpu.models.thruster.config import SolverConfig, make_params
 from hallthrusterpem_tpu.models.thruster.solver import simulate_batch
-from hallthrusterpem_tpu.models.thruster.pallas_step import simulate_batch_pallas, TILE_B
+from hallthrusterpem_tpu.models.thruster.pallas_step import (
+    TILE_B,
+    simulate_batch_pallas,
+    simulate_batch_pallas_multi,
+)
 
 
 @pytest.mark.parametrize("ncharge", [1, 2])
@@ -41,3 +45,26 @@ def test_pallas_matches_lax(ncharge):
     assert np.max(u_rel) < 0.05
     te_rel = abs(got["Tev"].max() - ref["Tev"].max()) / ref["Tev"].max()
     assert te_rel < 0.25
+
+
+def test_multistep_kernel_matches_lax():
+    """K-step VMEM-resident kernel with in-kernel accumulation — exact parity even
+    with an odd K and step-count overshoot (accumulation gating)."""
+    B = 11  # deliberately not a TILE_B multiple: exercises batch padding
+    nsteps = 2500
+    cfg = SolverConfig(num_cells=60, ncharge=1, dt=8e-9, duration=nsteps * 8e-9,
+                       average_start_time=nsteps // 2 * 8e-9)
+    z = cfg.cell_centers()
+    s = np.where(z < 0.025, 0.011, 0.018)
+    base_B = jnp.asarray(0.016 * np.exp(-0.5 * ((z - 0.025) / s) ** 2), jnp.float32)
+    vd = np.linspace(285, 315, B).astype(np.float32)
+    params = make_params({"V_d": vd, "V_cc": 30.0, "mdot_a": 5e-6, "P_b": 1e-5})
+
+    ref = {k: np.asarray(v) for k, v in simulate_batch(params, base_B, cfg).items()}
+    got = {k: np.asarray(v) for k, v in simulate_batch_pallas_multi(
+        params, base_B, cfg, inner_steps=37, calls_per_dispatch=9, interpret=True).items()}
+    for key in ("thrust", "discharge_current", "ion_current"):
+        rel = np.max(np.abs(got[key] - ref[key]) / np.abs(ref[key]))
+        assert rel < 0.01, (key, rel)
+    assert got["thrust"].shape == (B,)
+    assert not np.isnan(got["thrust"]).any()
