@@ -54,7 +54,12 @@ def load_test_set(config_path: Path):
         d = pickle.load(fd)
     keep = ~d["discard"]
     xt = {k: np.asarray(v)[keep] for k, v in d["samples"].items()}
-    yt = {k: np.asarray(v)[keep] for k, v in d["outputs"].items() if not k.endswith("_coords")}
+    yt = {}
+    for k, v in d["outputs"].items():
+        arr = np.asarray(v)
+        if k.endswith("_coords") or arr.dtype.kind != "f" or arr.ndim < 1 or arr.shape[0] != keep.size:
+            continue
+        yt[k] = arr[keep]
     return xt, yt
 
 

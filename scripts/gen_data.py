@@ -66,7 +66,9 @@ def generate_data(system, n, seed, tag, out_dir, iqr_factor=1.5):
     samples = system.sample_inputs(n, seed=seed, use_pdf=["calibration", "nuisance"])
     outputs = system.predict(samples, use_model="best")
     samples = {k: np.asarray(v) for k, v in samples.items()}
-    outputs = {k: np.asarray(v) for k, v in outputs.items()}
+    # keep numeric batch arrays only (drop raw solver trees, paths, etc.)
+    outputs = {k: np.asarray(v) for k, v in outputs.items()
+               if np.asarray(v).dtype.kind == "f" and np.asarray(v).ndim >= 1}
     discard = filter_outputs(outputs, iqr_factor)
     system.logger.info("%s: %d/%d samples kept", tag, n - discard.sum(), n)
     with open(out_dir / f"{tag}.pkl", "wb") as fd:
