@@ -26,6 +26,12 @@ def svd_rank(
     :returns: ``(U, r)`` with ``U`` of shape ``(grid, min(grid, snapshots))``.
     """
     A = np.asarray(data_matrix, dtype=np.float64)
+    # drop non-finite snapshots (failed samples are NaN rows by convention)
+    good = np.isfinite(A).all(axis=0)
+    if not good.all():
+        A = A[:, good]
+    if A.shape[1] == 0:
+        raise ValueError("no finite snapshots to build a compression map from")
     U, s, _ = np.linalg.svd(A, full_matrices=False)
     energy = s**2
     total = float(np.sum(energy))

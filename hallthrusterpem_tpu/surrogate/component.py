@@ -65,6 +65,7 @@ class ComponentSurrogate:
         self._layout_built = False
 
         self.interpolants: dict[tuple, TensorInterpolant] = {}  # kappa -> interpolant
+        self.nan_frac: dict[tuple, float] = {}  # kappa -> fraction of failed grid evals
         self.active: set = set()
         self.candidates: set = set()
         self.eval_cache: dict[tuple, dict[tuple, np.ndarray]] = {}  # alpha -> {point: out_vec}
@@ -176,6 +177,7 @@ class ComponentSurrogate:
         cache = self.eval_cache.setdefault(alpha, {})
         keys = [self._point_key(p) for p in pts]
         missing = [i for i, k in enumerate(keys) if k not in cache]
+        n_bad = 0
         if missing:
             new_pts = pts[missing]
             batch = self._denormalize_points(new_pts)
@@ -183,15 +185,19 @@ class ComponentSurrogate:
             raw = {k: np.asarray(v) for k, v in raw.items()}
             vals = self._pack_outputs(raw, len(missing))
             # NaN repair: failed samples take the column median of valid rows
-            # (mask semantics, SURVEY.md §5.3 — interpolation needs every knot)
+            # (mask semantics, SURVEY.md §5.3 — interpolation needs every knot);
+            # the count of repaired rows feeds the refinement penalty.
             bad = ~np.isfinite(vals)
             if bad.any():
-                med = np.nanmedian(np.where(np.isfinite(vals), vals, np.nan), axis=0)
+                n_bad = int((~np.isfinite(vals).all(axis=1)).sum())
+                with np.errstate(all="ignore"):
+                    med = np.nanmedian(np.where(np.isfinite(vals), vals, np.nan), axis=0)
                 med = np.where(np.isfinite(med), med, 0.0)
                 vals = np.where(bad, np.broadcast_to(med, vals.shape), vals)
             for i, vi in zip(missing, vals):
                 cache[keys[i]] = vi
         out = np.stack([cache[k] for k in keys], axis=0)
+        self._last_nan_frac = n_bad / max(len(missing), 1) if missing else 0.0
         return out, len(missing)
 
     def build_interpolant(self, kappa: tuple) -> tuple[TensorInterpolant, int]:
@@ -202,6 +208,7 @@ class ComponentSurrogate:
         shape = tuple(len(k) for k in knots) + (vals.shape[-1],)
         interp = TensorInterpolant(knots=tuple(knots), values=vals.reshape(shape))
         self.interpolants[kappa] = interp
+        self.nan_frac[kappa] = getattr(self, "_last_nan_frac", 0.0)
         return interp, n_new
 
     def initialize(self) -> int:
@@ -217,13 +224,31 @@ class ComponentSurrogate:
         max_levels = list(self.alpha_max) + list(self.beta_max)
         self.candidates = candidate_neighbors(self.active, max_levels)
 
-    def candidate_surplus(self, kappa: tuple, num_refine: int = 256, rng=None) -> tuple[float, int, float]:
+    def output_mask(self, targets=None, coupling_names=()) -> Optional[np.ndarray]:
+        """Column indices of outputs that matter for refinement: targeted outputs
+        plus coupling outputs that feed downstream components (the reference's
+        ``fit(targets=...)`` semantics). None = all outputs; empty array = this
+        component does not influence any target."""
+        if targets is None or not self._layout_built:
+            return None
+        wanted = set(targets) | set(coupling_names)
+        cols: list[int] = []
+        for var, start, size, _ in self._out_slices:
+            if var.name in wanted:
+                cols.extend(range(start, start + size))
+        return np.asarray(cols, dtype=int)
+
+    def candidate_surplus(
+        self, kappa: tuple, num_refine: int = 256, rng=None, out_cols=None
+    ) -> tuple[float, int, float]:
         """Error indicator for activating ``kappa``: relative change of the
         combined surrogate on random test points, per unit model cost.
 
         Returns (error_indicator, num_new_evals, cost_seconds_estimate).
         """
         t0 = time.perf_counter()
+        if out_cols is not None and len(out_cols) == 0:
+            return 0.0, 0, 1.0  # component influences no target: never refine
         if kappa not in self.interpolants:
             _, n_new = self.build_interpolant(kappa)
         else:
@@ -234,8 +259,19 @@ class ComponentSurrogate:
         )
         cur = self._combined_eval(x, self.active)
         new = self._combined_eval(x, self.active | {kappa})
-        denom = np.maximum(np.linalg.norm(cur, axis=0), 1e-12)
-        err = float(np.mean(np.linalg.norm(new - cur, axis=0) / denom))
+        if out_cols is not None:
+            if len(out_cols) == 0:
+                return 0.0, 0, 1.0
+            cur = cur[:, out_cols]
+            new = new[:, out_cols]
+        # scale-free, bounded surplus per output: ||new-cur|| / (||cur|| + ||new||)
+        # (a plain relative norm explodes when an output is ~0, letting NaN-imputed
+        # garbage candidates dominate the refinement)
+        num = np.linalg.norm(new - cur, axis=0)
+        denom = np.linalg.norm(cur, axis=0) + np.linalg.norm(new, axis=0) + 1e-12
+        err = float(np.mean(num / denom))
+        # candidates whose model evals mostly failed are de-prioritized outright
+        err *= max(0.0, 1.0 - 2.0 * self.nan_frac.get(kappa, 0.0))
         alpha, _ = split_index(kappa, self.n_alpha)
         cost = max(n_new, 1) * self.component.get_cost(alpha)
         _ = time.perf_counter() - t0

@@ -104,19 +104,28 @@ def fit_system(
         save_dir.mkdir(parents=True, exist_ok=True)
         system.save_to_file(f"{system.name}_iter{i}.yml", save_dir)
 
+    coupling_names = {v.name for v in system.coupling_vars}
+
     for iteration in range(int(max_iter)):
         t_iter = time.perf_counter()
         best = None  # (indicator, comp, kappa, err, n_new)
         for comp in system.components:
             surr = comp.surrogate
+            out_cols = surr.output_mask(targets, coupling_names)
             for kappa in sorted(surr.candidates):
-                err, n_new, cost = surr.candidate_surplus(kappa, num_refine=num_refine, rng=rng)
-                indicator = err / max(cost, 1e-9)
+                err, n_new, cost = surr.candidate_surplus(
+                    kappa, num_refine=num_refine, rng=rng, out_cols=out_cols
+                )
+                # cost-aware greedy with a softened exponent (Gerstner-Griebel
+                # style): pure err/cost starves expensive components forever when
+                # cheap analytic ones coexist (cost ratios ~1e6 here, unlike the
+                # reference where every component paid subprocess overhead)
+                indicator = err / max(cost, 1e-3) ** 0.5
                 if best is None or indicator > best[0]:
                     best = (indicator, comp, kappa, err, n_new)
-        if best is None:
+        if best is None or best[0] <= 0.0:
             if verbose:
-                system.logger.info("No candidates left; training converged structurally.")
+                system.logger.info("No informative candidates left; refinement stops.")
             break
 
         _, comp, kappa, err, n_new = best
