@@ -154,6 +154,21 @@ class System:
     def x_vars(self) -> list[Variable]:
         return self.inputs()
 
+    @property
+    def refine_level(self) -> int:
+        """Number of completed refinement iterations (legacy ``system.refine_level``,
+        reference ``monte_carlo.py:762``)."""
+        return len(self.train_history)
+
+    @property
+    def build_metrics(self) -> dict:
+        """Legacy ``build_metrics`` view over train_history (reference
+        ``monte_carlo.py:762-763,777-778``)."""
+        return {
+            "train_record": self.train_history,
+            "test_stats": [h.get("test_error", {}) for h in self.train_history],
+        }
+
     # ------------------------------------------------------------------ sampling
     def sample_inputs(
         self,

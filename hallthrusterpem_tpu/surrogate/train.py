@@ -89,6 +89,18 @@ def fit_system(
     rng = np.random.default_rng(seed)
     t_start = time.time()
 
+    # estimate/refresh output-variable domains from the test set (reference
+    # fit_surr.py passes estimate_bounds/update_bounds into system.fit)
+    if (estimate_bounds or update_bounds) and test_set is not None:
+        xt, yt = test_set if isinstance(test_set, tuple) else (test_set["xt"], test_set["yt"])
+        for comp in system.components:
+            for var in comp.outputs:
+                if var.name in yt:
+                    arr = np.asarray(yt[var.name], dtype=np.float64)
+                    finite = arr[np.isfinite(arr)]
+                    if finite.size and (var.domain is None or update_bounds):
+                        var.domain = (float(finite.min()), float(finite.max()))
+
     # initialize surrogates
     for comp in system.components:
         if comp.surrogate is None:
