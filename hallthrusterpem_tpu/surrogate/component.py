@@ -138,6 +138,16 @@ class ComponentSurrogate:
                 lat = np.asarray(var.compression.compress(jnp.asarray(norm)))
                 cols[:, start : start + size] = lat.reshape(n, size)
             else:  # scalar or raw field
+                # physically absurd (but finite) values are treated as failures:
+                # outside 5x the declared output range (pem_v0 declares e.g.
+                # T in (0, 0.2) N) they would poison the interpolant
+                dom = var.get_domain()
+                if dom is not None and kind == "scalar":
+                    lo, hi = dom
+                    width = max(hi - lo, 1e-30)
+                    val = np.where(
+                        (val < lo - 5 * width) | (val > hi + 5 * width), np.nan, val
+                    )
                 norm = np.asarray(var.normalize(val))
                 cols[:, start : start + size] = norm.reshape(n, size)
         return cols
@@ -156,7 +166,16 @@ class ComponentSurrogate:
                 out[var.name] = var.denormalize(block) if denormalize else block
             else:
                 scalar = block[..., 0]
-                out[var.name] = var.denormalize(scalar) if denormalize else scalar
+                if denormalize:
+                    scalar = var.denormalize(scalar)
+                    dom = var.get_domain()
+                    if dom is not None:
+                        # tame polynomial extrapolation: clip to a generous band
+                        # around the declared physical range
+                        lo, hi = dom
+                        width = max(hi - lo, 1e-30)
+                        scalar = jnp.clip(scalar, lo - width, hi + width)
+                out[var.name] = scalar
         return out
 
     def reconstruct_field(self, var_name: str, latents):
