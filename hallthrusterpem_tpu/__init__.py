@@ -13,9 +13,24 @@ solver and parallelizes over samples with ``vmap``/``shard_map`` on a TPU mesh.
 
 __version__ = "0.1.0"
 
+import logging as _logging
+
 from hallthrusterpem_tpu.core.dataset import Dataset, to_model_dataset
 from hallthrusterpem_tpu.core.variables import Variable
 from hallthrusterpem_tpu.core.component import Component
 from hallthrusterpem_tpu.core.system import System
 
-__all__ = ["Dataset", "Variable", "Component", "System", "to_model_dataset", "__version__"]
+
+def get_logger(name: str) -> "_logging.Logger":
+    """Module logger factory (``pem_core.get_logger`` parity, reference
+    ``plume.py:11,19``)."""
+    logger = _logging.getLogger(name)
+    if not logger.handlers:
+        handler = _logging.StreamHandler()
+        handler.setFormatter(_logging.Formatter("%(asctime)s %(name)s %(levelname)s: %(message)s"))
+        logger.addHandler(handler)
+        logger.setLevel(_logging.WARNING)
+    return logger
+
+
+__all__ = ["Dataset", "Variable", "Component", "System", "to_model_dataset", "get_logger", "__version__"]

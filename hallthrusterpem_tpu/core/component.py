@@ -133,6 +133,10 @@ class Component:
         self.model_costs[alpha] = (prev_evals + n, prev_cost + elapsed)
         return out
 
+    def _model(self, inputs: Dataset, alpha: Optional[tuple] = None, **kwargs) -> Dataset:
+        """Legacy direct-model accessor (reference ``monte_carlo.py:221,264``)."""
+        return self.call_model(inputs, model_fidelity=alpha, **kwargs)
+
     def get_cost(self, alpha: tuple = (), beta: tuple = ()) -> float:
         """Estimated seconds per model evaluation at fidelity ``alpha`` (legacy
         ``comp.get_cost`` surface, reference ``monte_carlo.py:725``)."""

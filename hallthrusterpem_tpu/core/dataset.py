@@ -11,6 +11,7 @@ entry named ``"{var}_coords"`` — the same convention as ``amisc.typing.COORDS_
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Iterable, Union
 
 import jax.numpy as jnp
@@ -18,6 +19,7 @@ import numpy as np
 
 ArrayLike = Union[np.ndarray, "jnp.ndarray", float, int]
 Dataset = Dict[str, ArrayLike]
+PathLike = Union[str, "os.PathLike"]
 
 #: Suffix convention for field-quantity coordinate arrays: "{var}" + COORDS_STR_ID
 COORDS_STR_ID = "_coords"

@@ -395,6 +395,12 @@ class Variable:
             return self.distribution.mu
         return self.nominal
 
+    @property
+    def param_type(self) -> str:
+        """Legacy ``param_type`` accessor (reference ``monte_carlo.py:56-59``):
+        the variable's category, or 'output' when uncategorized."""
+        return self.category or "output"
+
     @staticmethod
     def from_dict(d: dict) -> "Variable":
         d = dict(d)
