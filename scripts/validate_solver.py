@@ -1,0 +1,81 @@
+"""Solver physics validation sweep: SPT-100 characteristics vs published trends.
+
+Runs the discharge solver across discharge voltage and mass flow rate at nominal
+anomalous-transport settings and prints the performance map (thrust, currents,
+efficiencies). Published SPT-100 anchors (Sankovic et al. 1993 test data;
+reference tests assert 0 < T < 0.2 N, 0 < I_d < 10 A at 300 V / 5.16 mg/s):
+T ~= 83 mN, I_d ~= 4.5 A at 300 V / 5.16 mg/s, thrust roughly ~ mdot*sqrt(V).
+
+Usage: python validate_solver.py [--duration 8e-4] [--cells 100] [--tpu]
+"""
+
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # repo root
+
+import argparse
+import time
+
+parser = argparse.ArgumentParser(description=__doc__)
+parser.add_argument("--duration", type=float, default=6e-4)
+parser.add_argument("--cells", type=int, default=100)
+parser.add_argument("--ncharge", type=int, default=1)
+parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+
+
+def main(argv=None):
+    args = parser.parse_args(argv)
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hallthrusterpem_tpu.models.thruster import dispatch_solver, _load_bfield
+    from hallthrusterpem_tpu.models.thruster.config import SolverConfig, make_params
+    from hallthrusterpem_tpu.utils import load_thruster
+
+    device = load_thruster("SPT-100")
+    dt = 5e-9
+    cfg = SolverConfig(
+        num_cells=args.cells, ncharge=args.ncharge, dt=dt, duration=args.duration,
+        average_start_time=args.duration / 2,
+    )
+    base_B = jnp.asarray(_load_bfield(device, cfg), jnp.float32)
+
+    # sweep grid: V_d x mdot
+    vds = np.array([200.0, 250.0, 300.0, 350.0, 400.0])
+    mdots = np.array([3.5e-6, 5.16e-6])
+    VD, MD = np.meshgrid(vds, mdots, indexing="ij")
+    params = make_params({
+        "V_d": VD.ravel().astype(np.float32),
+        "mdot_a": MD.ravel().astype(np.float32),
+        "V_cc": 30.0, "P_b": 1e-5, "u_n": 300.0,
+        "a1": 0.00625, "a2": 0.0625,
+    })
+
+    t0 = time.time()
+    out = {k: np.asarray(v) for k, v in dispatch_solver(params, base_B, cfg).items()}
+    wall = time.time() - t0
+
+    print(f"# {VD.size} operating points, {cfg.num_steps} steps each, {wall:.1f}s wall "
+          f"({jax.default_backend()})")
+    print(f"{'V_d':>6} {'mdot':>9} {'T[mN]':>8} {'I_d[A]':>7} {'I_B0[A]':>8} "
+          f"{'eta_m':>6} {'eta_a':>6} {'u_exit[km/s]':>12}")
+    for i in range(VD.size):
+        u_exit = out["ui"][i, 0, -2] / 1e3
+        print(f"{VD.ravel()[i]:6.0f} {MD.ravel()[i]:9.2e} {out['thrust'][i]*1e3:8.1f} "
+              f"{out['discharge_current'][i]:7.2f} {out['ion_current'][i]:8.2f} "
+              f"{out['mass_eff'][i]:6.2f} {out['anode_eff'][i]:6.2f} {u_exit:12.1f}")
+
+    # trend assertions (soft): thrust increases with V_d and with mdot
+    T = out["thrust"].reshape(VD.shape)
+    assert np.all(np.diff(T[:, 1]) > -5e-3), "thrust should broadly increase with V_d"
+    assert np.all(T[:, 1] > T[:, 0]), "thrust should increase with mass flow"
+    print("# trend checks passed")
+
+
+if __name__ == "__main__":
+    main()
