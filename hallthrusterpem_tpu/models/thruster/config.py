@@ -52,6 +52,12 @@ class SolverConfig:
     pressure_shift: str = "none"  # or "LogisticPressureShift" | "SimpleLogisticShift"
     ion_wall_losses: bool = True
     electron_wall_losses: bool = True
+    #: electron-wall MOMENTUM collisionality as a fraction of the Landmark 1e7 s^-1
+    #: energy-loss frequency: full Landmark (1.0) over-predicts discharge current
+    #: ~50% vs published SPT-100 data; 0.5 balances nominal-point accuracy
+    #: (T~=84 mN at 300 V / 5.16 mg/s) against low-power-mode stability
+    #: (see scripts/validate_solver.py)
+    wall_momentum_scale: float = 0.5
     apply_thrust_divergence_correction: bool = False
     neutral_temp_K: float = 500.0
     ion_temp_K: float = 1000.0

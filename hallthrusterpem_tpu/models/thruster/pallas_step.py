@@ -122,7 +122,7 @@ def make_physics(cfg: SolverConfig):
         lnTe = jnp.log(Te)
         lnL = jnp.clip(23.0 - 0.5 * jnp.log(ne * 1e-6) + 1.5 * lnTe, 2.0, 30.0)
         nu_ei = 2.9e-12 * ne * lnL * jnp.exp(-1.5 * lnTe)
-        nu_ew = (cfg.electron_wall_losses * 1e7) * c_w * in_channel
+        nu_ew = (cfg.electron_wall_losses * cfg.wall_momentum_scale * 1e7) * c_w * in_channel
         nu_e = k_en * nn + nu_ei + nu_anom + nu_ew
         inv_nu = 1.0 / nu_e
         mu = (_E / _ME) * inv_nu / (1.0 + (omega_ce * inv_nu) ** 2)

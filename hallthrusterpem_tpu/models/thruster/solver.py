@@ -196,7 +196,7 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
         lnL = jnp.clip(23.0 - 0.5 * jnp.log(ne * 1e-6) + 1.5 * jnp.log(Te), 2.0, 30.0)
         nu_ei = 2.9e-12 * ne * lnL / Te**1.5
         nu_en = k_en * nn
-        nu_ew = cfg.electron_wall_losses * p["c_w"] * 1e7 * in_channel
+        nu_ew = cfg.electron_wall_losses * cfg.wall_momentum_scale * p["c_w"] * 1e7 * in_channel
         nu_e = nu_en + nu_ei + nu_anom + nu_ew
         Omega2 = (omega_ce / nu_e) ** 2
         mu = (_E / (_ME * nu_e)) / (1.0 + Omega2)
