@@ -318,23 +318,25 @@ class ComponentSurrogate:
         :param training: use only the active set (the reference's ``training=True``
             semantics at ``mcmc.py:65``); otherwise include candidate indices too.
         """
-        names = [v.name for v in self.inputs]
-        cols = []
-        batch_shape = None
-        for v in self.inputs:
-            arr = jnp.asarray(inputs[v.name])
-            batch_shape = arr.shape if batch_shape is None else batch_shape
-            cols.append(jnp.ravel(v.normalize(arr)))
-        x = jnp.stack(cols, axis=-1)
+        import jax
 
-        index_set = self.active if training else (self.active | self.candidates_with_interp())
-        coeffs = combination_coefficients(index_set)
-        total = None
-        for kappa, c in coeffs.items():
-            val = self.interpolants[kappa](x) * c
-            total = val if total is None else total + val
-        total = total.reshape(batch_shape + (self.n_out,))
-        return self.unpack_outputs(total, denormalize=denormalize)
+        with jax.default_device(jax.devices("cpu")[0]):
+            cols = []
+            batch_shape = None
+            for v in self.inputs:
+                arr = jnp.asarray(inputs[v.name])
+                batch_shape = arr.shape if batch_shape is None else batch_shape
+                cols.append(np.ravel(np.asarray(v.normalize(arr))))
+            x = np.stack(cols, axis=-1)
+
+            index_set = self.active if training else (self.active | self.candidates_with_interp())
+            coeffs = combination_coefficients(index_set)
+            total = None
+            for kappa, c in coeffs.items():
+                val = np.asarray(self.interpolants[kappa](x)) * c
+                total = val if total is None else total + val
+            total = total.reshape(batch_shape + (self.n_out,))
+            return self.unpack_outputs(total, denormalize=denormalize)
 
     def candidates_with_interp(self) -> set:
         return {k for k in self.candidates if k in self.interpolants}

@@ -21,6 +21,10 @@ from hallthrusterpem_tpu.surrogate.knots import barycentric_weights
 __all__ = ["TensorInterpolant", "tensor_grid_points"]
 
 
+def _cpu_device():
+    return jax.devices("cpu")[0]
+
+
 def tensor_grid_points(knots_1d: Sequence[np.ndarray]) -> np.ndarray:
     """Cartesian product of per-dim knot vectors -> (num_points, d) array (C order:
     last dim fastest)."""
@@ -55,16 +59,23 @@ class TensorInterpolant:
         return tensor_grid_points(self.knots)
 
     def __call__(self, x):
-        """Evaluate at ``x`` of shape (..., d) -> (..., n_out)."""
-        x = jnp.asarray(x)
+        """Evaluate at ``x`` of shape (..., d) -> (..., n_out).
+
+        Runs on the host CPU backend: interpolant tensors are tiny, and surrogate
+        evaluation inside UQ loops is latency-critical — on a remote-TPU setup
+        every accelerator dispatch costs a network round-trip that dwarfs the math.
+        """
+        x = np.asarray(x)
         batch_shape = x.shape[:-1]
         xq = x.reshape((-1, self.ndim))
-        out = _eval_tensor(
-            tuple(jnp.asarray(k) for k in self.knots),
-            tuple(jnp.asarray(w) for w in self._weights),
-            jnp.asarray(self.values),
-            xq,
-        )
+        with jax.default_device(_cpu_device()):
+            out = _eval_tensor(
+                tuple(jnp.asarray(k) for k in self.knots),
+                tuple(jnp.asarray(w) for w in self._weights),
+                jnp.asarray(self.values),
+                jnp.asarray(xq),
+            )
+            out = np.asarray(out)
         return out.reshape(batch_shape + (self.values.shape[-1],))
 
 

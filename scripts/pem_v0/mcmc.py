@@ -154,8 +154,14 @@ def main(argv=None):
         print("MLE:", dict(zip(names, res.x)))
         x0 = res.x
 
+    # initial proposal: small fraction of each parameter's domain width (a
+    # |nominal|-based scale is useless for near-zero or tightly-constrained
+    # parameters and stalls high-dimensional chains)
+    widths = np.array([(v.get_domain()[1] - v.get_domain()[0]) for v in calib])
+    cov0 = np.diag((0.02 * widths / np.sqrt(len(calib))) ** 2)
+
     samples, logps, acc = dram(
-        log_posterior, x0, niter=args.niter, n_walkers=args.walkers,
+        log_posterior, x0, niter=args.niter, n_walkers=args.walkers, cov0=cov0,
         adapt_after=max(200, args.niter // 10), adapt_interval=100,
         filename=args.file, progress=True,
     )
