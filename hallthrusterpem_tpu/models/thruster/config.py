@@ -66,6 +66,7 @@ class SolverConfig:
     Te_max: float = 150.0  # eV ceiling (guards rate-table range)
     anode_Te: float = 2.0  # eV Dirichlet BC
     mdot_bohm_fraction: float = 1.0  # anode sheath Bohm-speed limiter scale
+    reconstruct: bool = True  # MUSCL minmod reconstruction (2nd-order heavy fluxes)
     dtype: str = "float32"
 
     @property

@@ -165,17 +165,32 @@ def make_physics(cfg: SolverConfig):
             rho_b.append(rb)
             mom_b.append(mb)
 
-        # ---- fluxes: F[:, i] = flux through face between cells i and i+1
+        # ---- fluxes: F[:, i] = flux through face between cells i and i+1, with
+        # MUSCL minmod reconstruction of primitives (mirrors solver.py)
         face = lane <= NC - 2
         face_f = face.astype(fint)
-        Fn = u_n * rho_n_b * face_f  # neutral upwind (u_n > 0)
+
+        def minmod_slope(q):
+            if not cfg.reconstruct:
+                return jnp.zeros_like(q)
+            dq_p = _roll(q, -1) - q  # forward difference (face i)
+            dq_m = q - _roll(q, 1)  # backward difference (face i-1)
+            s = 0.5 * (jnp.sign(dq_m) + jnp.sign(dq_p)) * jnp.minimum(jnp.abs(dq_m), jnp.abs(dq_p))
+            return s * interior_f  # zero slope at boundary/ghost/pad lanes
+
+        sl_rn = minmod_slope(rho_n_b)
+        Fn = u_n * jnp.maximum(rho_n_b + 0.5 * sl_rn, rho_floor) * face_f  # upwind, u_n > 0
 
         Fr, Fm = [], []
         for z in range(Z):
-            rL, mL = rho_b[z], mom_b[z]
-            rR, mR = _roll(rL, -1), _roll(mL, -1)
-            uL = mL / jnp.maximum(rL, rho_floor)
-            uR = mR / jnp.maximum(rR, rho_floor)
+            u_b = mom_b[z] / jnp.maximum(rho_b[z], rho_floor)
+            sl_r = minmod_slope(rho_b[z])
+            sl_u = minmod_slope(u_b)
+            rL = jnp.maximum(rho_b[z] + 0.5 * sl_r, rho_floor)
+            rR = jnp.maximum(_roll(rho_b[z], -1) - 0.5 * _roll(sl_r, -1), rho_floor)
+            uL = u_b + 0.5 * sl_u
+            uR = _roll(u_b, -1) - 0.5 * _roll(sl_u, -1)
+            mL, mR = rL * uL, rR * uR
             sL = jnp.minimum(jnp.minimum(uL - a_i, uR - a_i), 0.0)
             sR = jnp.maximum(jnp.maximum(uL + a_i, uR + a_i), 0.0)
             ds = jnp.maximum(sR - sL, 1e-8)

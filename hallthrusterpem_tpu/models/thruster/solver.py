@@ -228,13 +228,29 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
             [(rho_gl * u_gl)[:, None], mom_i[:, 1:-1], mom_i[:, -2:-1]], axis=1
         )
 
-        # ---- fluxes (NC-1 faces)
-        Fn = u_n * rho_n_b[:-1]  # neutral upwind (u_n > 0)
+        # ---- fluxes (NC-1 faces); MUSCL minmod-limited linear reconstruction of
+        # primitives (2nd-order in space; HallThruster.jl's default scheme uses
+        # limited reconstruction too)
+        def minmod_slope(q):
+            dq = q[..., 1:] - q[..., :-1]
+            s = 0.5 * (jnp.sign(dq[..., :-1]) + jnp.sign(dq[..., 1:])) * jnp.minimum(
+                jnp.abs(dq[..., :-1]), jnp.abs(dq[..., 1:])
+            )
+            pad = [(0, 0)] * (q.ndim - 1) + [(1, 1)]
+            return jnp.pad(s, pad) if cfg.reconstruct else jnp.zeros_like(q)
 
-        rL, rR = rho_i_b[:, :-1], rho_i_b[:, 1:]
-        mL, mR = mom_i_b[:, :-1], mom_i_b[:, 1:]
-        uL = mL / jnp.maximum(rL, rho_floor)
-        uR = mR / jnp.maximum(rR, rho_floor)
+        sl_rn = minmod_slope(rho_n_b)
+        rho_nLf = rho_n_b[:-1] + 0.5 * sl_rn[:-1]
+        Fn = u_n * jnp.maximum(rho_nLf, rho_floor)  # neutral upwind (u_n > 0)
+
+        u_i_b = mom_i_b / jnp.maximum(rho_i_b, rho_floor)
+        sl_r = minmod_slope(rho_i_b)
+        sl_u = minmod_slope(u_i_b)
+        rL = jnp.maximum(rho_i_b[:, :-1] + 0.5 * sl_r[:, :-1], rho_floor)
+        rR = jnp.maximum(rho_i_b[:, 1:] - 0.5 * sl_r[:, 1:], rho_floor)
+        uL = u_i_b[:, :-1] + 0.5 * sl_u[:, :-1]
+        uR = u_i_b[:, 1:] - 0.5 * sl_u[:, 1:]
+        mL, mR = rL * uL, rR * uR
         pL, pR = rL * a_i * a_i, rR * a_i * a_i
         sL = jnp.minimum(jnp.minimum(uL - a_i, uR - a_i), 0.0)
         sR = jnp.maximum(jnp.maximum(uL + a_i, uR + a_i), 0.0)

@@ -16,9 +16,10 @@ from hallthrusterpem_tpu.models.thruster.mapping import (
     default_model_fidelity,
 )
 
-# fast-but-physical settings for CI: coarse grid, short duration
-FAST_SIM = {"dt": 8.0e-9, "grid": {"type": "EvenGrid", "num_cells": 60}, "duration": 1.2e-4}
-FAST_POST = {"average_start_time": 0.6e-4}
+# fast-but-physical settings for CI: coarse grid, short duration (long enough for
+# the startup ionization transient to wash out of the averaging window)
+FAST_SIM = {"dt": 8.0e-9, "grid": {"type": "EvenGrid", "num_cells": 60}, "duration": 2.4e-4}
+FAST_POST = {"average_start_time": 1.4e-4}
 
 
 def test_convert_roundtrip():
