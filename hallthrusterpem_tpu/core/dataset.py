@@ -11,7 +11,6 @@ entry named ``"{var}_coords"`` — the same convention as ``amisc.typing.COORDS_
 
 from __future__ import annotations
 
-import os
 from typing import Dict, Iterable, Union
 
 import jax.numpy as jnp

@@ -15,9 +15,7 @@ from __future__ import annotations
 
 import logging
 from pathlib import Path
-from typing import Any, Iterable, Optional, Sequence
-
-import numpy as np
+from typing import Iterable, Optional, Sequence
 
 from hallthrusterpem_tpu.core.component import Component
 from hallthrusterpem_tpu.core.dataset import Dataset

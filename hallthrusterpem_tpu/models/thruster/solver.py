@@ -34,7 +34,6 @@ from hallthrusterpem_tpu.constants import (
     BOLTZMANN_CONSTANT,
     ELECTRON_MASS,
     FUNDAMENTAL_CHARGE,
-    TORR_2_PA,
 )
 from hallthrusterpem_tpu.models.thruster.config import (
     SolverConfig,

@@ -15,14 +15,12 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from hallthrusterpem_tpu.models.cathode import cathode_coupling
 from hallthrusterpem_tpu.models.plume import current_density
 from hallthrusterpem_tpu.models.thruster.config import SolverConfig, make_params
 from hallthrusterpem_tpu.models.thruster.solver import _simulate_one
 from hallthrusterpem_tpu.utils import load_thruster
-from hallthrusterpem_tpu.ops.interp import interp1d
 
 __all__ = ["CoupledPEM", "default_coupled_inputs"]
 

@@ -12,7 +12,7 @@ every previous point.
 from __future__ import annotations
 
 import time
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 import jax.numpy as jnp
@@ -23,7 +23,6 @@ from hallthrusterpem_tpu.surrogate.knots import knots_for_level
 from hallthrusterpem_tpu.surrogate.misc import (
     candidate_neighbors,
     combination_coefficients,
-    combine_index,
     split_index,
 )
 

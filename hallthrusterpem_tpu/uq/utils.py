@@ -7,7 +7,7 @@ package (``approx_hess``, ``is_positive_definite``, ``nearest_positive_definite`
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import numpy as np
 
