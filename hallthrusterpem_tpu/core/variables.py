@@ -88,17 +88,18 @@ class Distribution:
         raise ValueError(f"Unknown distribution kind {self.kind!r}")
 
     def pdf(self, x, nominal: Optional[float] = None):
-        x = jnp.asarray(x)
+        xp = jnp if isinstance(x, jnp.ndarray) else np
+        x = xp.asarray(x)
         if self.kind == "uniform":
             lo, hi = self.params
-            return jnp.where((x >= lo) & (x <= hi), 1.0 / (hi - lo), 0.0)
+            return xp.where((x >= lo) & (x <= hi), 1.0 / (hi - lo), 0.0)
         if self.kind == "loguniform":
             lo, hi = self.params
             c = 1.0 / (np.log(hi) - np.log(lo))
-            return jnp.where((x >= lo) & (x <= hi), c / jnp.maximum(x, 1e-300), 0.0)
+            return xp.where((x >= lo) & (x <= hi), c / xp.maximum(x, 1e-300), 0.0)
         if self.kind == "normal":
             mu, sd = self.params
-            return jnp.exp(-0.5 * ((x - mu) / sd) ** 2) / (sd * np.sqrt(2 * np.pi))
+            return xp.exp(-0.5 * ((x - mu) / sd) ** 2) / (sd * np.sqrt(2 * np.pi))
         if self.kind in ("relative", "tolerance"):
             if nominal is None:
                 raise ValueError(f"{self.kind} pdf requires a nominal value")
@@ -109,7 +110,7 @@ class Distribution:
             else:
                 (tol,) = self.params
                 lo, hi = nominal - tol, nominal + tol
-            return jnp.where((x >= lo) & (x <= hi), 1.0 / (hi - lo), 0.0)
+            return xp.where((x >= lo) & (x <= hi), 1.0 / (hi - lo), 0.0)
         raise ValueError(f"Unknown distribution kind {self.kind!r}")
 
     def bounds(self, nominal: Optional[float] = None) -> Optional[tuple[float, float]]:
@@ -161,6 +162,13 @@ def parse_distribution(spec) -> Optional[Distribution]:
 # ----------------------------------------------------------------------------------
 # Norms (normalization transforms)
 # ----------------------------------------------------------------------------------
+def _xp(x):
+    """Array namespace: NumPy for host data (keeps UQ hot loops off the
+    accelerator — on a remote-TPU tunnel every dispatch is a network round-trip),
+    jnp for traced/jax arrays so transforms stay jittable."""
+    return jnp if isinstance(x, jnp.ndarray) else np
+
+
 @dataclass(frozen=True)
 class Norm:
     """One normalization transform. ``kind`` in {log10, log, linear, zscore, minmax, none}."""
@@ -169,11 +177,11 @@ class Norm:
     params: tuple[float, ...] = ()
 
     def forward(self, x):
-        x = jnp.asarray(x)
+        xp = _xp(x)
         if self.kind == "log10":
-            return jnp.log10(x)
+            return xp.log10(x)
         if self.kind == "log":
-            return jnp.log(x)
+            return xp.log(x)
         if self.kind == "linear":
             scale = self.params[0] if self.params else 1.0
             offset = self.params[1] if len(self.params) > 1 else 0.0
@@ -189,11 +197,11 @@ class Norm:
         raise ValueError(f"Unknown norm {self.kind!r}")
 
     def inverse(self, y):
-        y = jnp.asarray(y)
+        xp = _xp(y)
         if self.kind == "log10":
-            return 10.0 ** y
+            return 10.0 ** xp.asarray(y)
         if self.kind == "log":
-            return jnp.exp(y)
+            return xp.exp(y)
         if self.kind == "linear":
             scale = self.params[0] if self.params else 1.0
             offset = self.params[1] if len(self.params) > 1 else 0.0
@@ -278,11 +286,15 @@ class Compression:
 
     def compress(self, fields):
         """Project ``(..., grid)`` fields to ``(..., rank)`` latent coefficients."""
-        return jnp.asarray(fields) @ jnp.asarray(self.projection)
+        if isinstance(fields, jnp.ndarray):
+            return fields @ jnp.asarray(self.projection)
+        return np.asarray(fields) @ np.asarray(self.projection)
 
     def reconstruct(self, latent):
         """Reconstruct ``(..., rank)`` latents back to ``(..., grid)`` fields."""
-        return jnp.asarray(latent) @ jnp.asarray(self.projection).T
+        if isinstance(latent, jnp.ndarray):
+            return latent @ jnp.asarray(self.projection).T
+        return np.asarray(latent) @ np.asarray(self.projection).T
 
     @staticmethod
     def from_dict(d: dict) -> "Compression":
@@ -373,10 +385,11 @@ class Variable:
         if self.distribution is not None:
             return self.distribution.pdf(x, nominal=nom)
         dom = self.get_domain()
+        xp = jnp if isinstance(x, jnp.ndarray) else np
         if dom is None:
-            return jnp.ones_like(jnp.asarray(x))
+            return xp.ones_like(xp.asarray(x))
         lo, hi = dom
-        return jnp.where((jnp.asarray(x) >= lo) & (jnp.asarray(x) <= hi), 1.0 / (hi - lo), 0.0)
+        return xp.where((xp.asarray(x) >= lo) & (xp.asarray(x) <= hi), 1.0 / (hi - lo), 0.0)
 
     # -- display -----------------------------------------------------------------------
     def get_tex(self, units: bool = False, symbol: bool = True) -> str:

@@ -173,7 +173,8 @@ class ComponentSurrogate:
                         # around the declared physical range
                         lo, hi = dom
                         width = max(hi - lo, 1e-30)
-                        scalar = jnp.clip(scalar, lo - width, hi + width)
+                        xp = jnp if isinstance(scalar, jnp.ndarray) else np
+                        scalar = xp.clip(scalar, lo - width, hi + width)
                 out[var.name] = scalar
         return out
 
@@ -305,7 +306,7 @@ class ComponentSurrogate:
     # ------------------------------------------------------------------ prediction
     def _combined_eval(self, x: np.ndarray, index_set) -> np.ndarray:
         self._build_layout()
-        coeffs = combination_coefficients(index_set)
+        coeffs = self._coeffs_cached(index_set)
         total = np.zeros((x.shape[0], self.n_out))
         for kappa, c in coeffs.items():
             total += c * np.asarray(self.interpolants[kappa](x))
@@ -317,28 +318,36 @@ class ComponentSurrogate:
         :param training: use only the active set (the reference's ``training=True``
             semantics at ``mcmc.py:65``); otherwise include candidate indices too.
         """
-        import jax
+        cols = []
+        batch_shape = None
+        for v in self.inputs:
+            arr = np.asarray(inputs[v.name], dtype=np.float64)
+            batch_shape = arr.shape if batch_shape is None else batch_shape
+            cols.append(np.ravel(np.asarray(v.normalize(arr))))
+        x = np.stack(cols, axis=-1)
 
-        with jax.default_device(jax.devices("cpu")[0]):
-            cols = []
-            batch_shape = None
-            for v in self.inputs:
-                arr = jnp.asarray(inputs[v.name])
-                batch_shape = arr.shape if batch_shape is None else batch_shape
-                cols.append(np.ravel(np.asarray(v.normalize(arr))))
-            x = np.stack(cols, axis=-1)
-
-            index_set = self.active if training else (self.active | self.candidates_with_interp())
-            coeffs = combination_coefficients(index_set)
-            total = None
-            for kappa, c in coeffs.items():
-                val = np.asarray(self.interpolants[kappa](x)) * c
-                total = val if total is None else total + val
-            total = total.reshape(batch_shape + (self.n_out,))
-            return self.unpack_outputs(total, denormalize=denormalize)
+        index_set = self.active if training else (self.active | self.candidates_with_interp())
+        coeffs = self._coeffs_cached(index_set)
+        total = None
+        for kappa, c in coeffs.items():
+            val = np.asarray(self.interpolants[kappa](x)) * c
+            total = val if total is None else total + val
+        total = total.reshape(batch_shape + (self.n_out,))
+        return self.unpack_outputs(total, denormalize=denormalize)
 
     def candidates_with_interp(self) -> set:
         return {k for k in self.candidates if k in self.interpolants}
+
+    def _coeffs_cached(self, index_set) -> dict:
+        key = frozenset(index_set)
+        cache = getattr(self, "_coeff_cache", None)
+        if cache is None:
+            cache = self._coeff_cache = {}
+        if key not in cache:
+            if len(cache) > 256:
+                cache.clear()
+            cache[key] = combination_coefficients(key)
+        return cache[key]
 
     # ------------------------------------------------------------------ persistence
     def to_state(self) -> dict:

@@ -61,22 +61,36 @@ class TensorInterpolant:
     def __call__(self, x):
         """Evaluate at ``x`` of shape (..., d) -> (..., n_out).
 
-        Runs on the host CPU backend: interpolant tensors are tiny, and surrogate
+        Pure NumPy on the host: interpolant tensors are tiny and surrogate
         evaluation inside UQ loops is latency-critical — on a remote-TPU setup
-        every accelerator dispatch costs a network round-trip that dwarfs the math.
+        every accelerator dispatch costs a network round-trip that dwarfs the math
+        (and ``jax.default_device`` does not reliably keep work off the tunnel).
         """
-        x = np.asarray(x)
+        x = np.asarray(x, dtype=np.float64)
         batch_shape = x.shape[:-1]
         xq = x.reshape((-1, self.ndim))
-        with jax.default_device(_cpu_device()):
-            out = _eval_tensor(
-                tuple(jnp.asarray(k) for k in self.knots),
-                tuple(jnp.asarray(w) for w in self._weights),
-                jnp.asarray(self.values),
-                jnp.asarray(xq),
-            )
-            out = np.asarray(out)
+        out = _eval_tensor_np(self.knots, self._weights, np.asarray(self.values), xq)
         return out.reshape(batch_shape + (self.values.shape[-1],))
+
+
+def _eval_tensor_np(knots, weights, values, xq: np.ndarray) -> np.ndarray:
+    """Vectorized NumPy barycentric tensor contraction: ``xq`` (N, d) -> (N, n_out)."""
+    v = None
+    for d, (kn, w) in enumerate(zip(knots, weights)):
+        diff = xq[:, d : d + 1] - kn[None, :]  # (N, n_d)
+        near = np.abs(diff) < 1e-13 * (1.0 + np.abs(kn)[None, :])
+        any_near = near.any(axis=1, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            terms = w[None, :] / np.where(near, 1.0, diff)
+            smooth = terms / terms.sum(axis=1, keepdims=True)
+        exact = near.astype(np.float64)
+        exact /= np.maximum(exact.sum(axis=1, keepdims=True), 1.0)
+        L = np.where(any_near, exact, smooth)  # (N, n_d) factor matrix
+        if v is None:
+            v = np.tensordot(L, values, axes=(1, 0))  # (N, n_2, ..., n_out)
+        else:
+            v = np.einsum("bi,bi...->b...", L, v)
+    return v
 
 
 def _factor(q, nodes, weights):

@@ -64,16 +64,30 @@ def candidate_neighbors(active: set, max_levels: Sequence[int]) -> set:
 
 def combination_coefficients(indices: Iterable[tuple]) -> dict[tuple, int]:
     """Inclusion-exclusion coefficients: c_k = sum_{e in {0,1}^d, k+e in S} (-1)^|e|.
-    Entries with c == 0 are dropped."""
-    s = set(indices)
+    Entries with c == 0 are dropped.
+
+    Instead of enumerating all 2^d unit-box corners (2^14 for the 12-input
+    thruster), walk the set itself: kappa' contributes to kappa iff
+    kappa' - kappa is a 0/1 vector — an O(|S|^2 d) sweep over tiny sets.
+    """
+    s = list(set(indices))
     coeffs: dict[tuple, int] = {}
     for kappa in s:
-        d = len(kappa)
         c = 0
-        for e in product((0, 1), repeat=d):
-            neighbor = tuple(k + de for k, de in zip(kappa, e))
-            if neighbor in s:
-                c += (-1) ** sum(e)
+        for other in s:
+            diff_sum = 0
+            ok = True
+            for a, b in zip(kappa, other):
+                d = b - a
+                if d == 0:
+                    continue
+                if d == 1:
+                    diff_sum += 1
+                else:
+                    ok = False
+                    break
+            if ok:
+                c += -1 if (diff_sum & 1) else 1
         if c != 0:
             coeffs[kappa] = c
     return coeffs
