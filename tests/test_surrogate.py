@@ -52,6 +52,30 @@ def test_tensor_interpolant_polynomial_exactness():
     assert np.max(np.abs(got_nodes - f(pts))) < 1e-4
 
 
+def test_combination_coefficients_vs_bruteforce():
+    """The O(|S|^2 d) coefficient sweep must match the 2^d inclusion-exclusion."""
+    from itertools import product
+    import random
+
+    rng = random.Random(0)
+    for d in (2, 3, 4):
+        # build a random downward-closed set
+        s = {(0,) * d}
+        for _ in range(15):
+            base = rng.choice(sorted(s))
+            i = rng.randrange(d)
+            cand = base[:i] + (base[i] + 1,) + base[i + 1 :]
+            if all(cand[:j] + (cand[j] - 1,) + cand[j + 1 :] in s for j in range(d) if cand[j] > 0):
+                s.add(cand)
+        brute = {}
+        for kappa in s:
+            c = sum((-1) ** sum(e) for e in product((0, 1), repeat=d)
+                    if tuple(k + de for k, de in zip(kappa, e)) in s)
+            if c:
+                brute[kappa] = c
+        assert combination_coefficients(s) == brute
+
+
 def test_misc_sets():
     active = {(0, 0), (1, 0), (0, 1)}
     assert is_downward_closed(active)
