@@ -64,9 +64,13 @@ def _roll(x, shift: int):
     return pltpu.roll(x, shift % LANES, axis=1)
 
 
-def make_physics(cfg: SolverConfig):
+def make_physics(cfg: SolverConfig, sanitize: bool = True):
     """Build the pure single-timestep physics function over (TILE_B, LANES) values
-    (the kernel wrappers — one-step and K-step — both call this)."""
+    (the kernel wrappers — one-step and K-step — both call this).
+
+    ``sanitize=False`` drops the per-step NaN/range scrub (the K-step kernel
+    scrubs once per block instead — an identity for healthy states, ~10% fewer
+    VPU passes)."""
     NC = cfg.nc
     if NC > LANES - 2:
         raise ValueError(f"num_cells={cfg.num_cells} exceeds the {LANES}-lane kernel layout")
@@ -100,13 +104,8 @@ def make_physics(cfg: SolverConfig):
         z_cell = jnp.where(lane >= NC - 1, cfg.domain[1] - cfg.domain[0], z_cell)
         in_channel = (z_cell <= cfg.geometry.channel_length).astype(fint)
 
-        # ---- sanitize (same contract as solver.py)
-        sane = lambda x, lo, hi: jnp.clip(jnp.where(jnp.isfinite(x), x, lo), lo, hi)
-        rho_n = sane(rho_n, rho_floor, 1e21 * mi)
-        rho_i = [sane(r, rho_floor, 1e21 * mi) for r in rho_i]
-        mom_i = [jnp.clip(jnp.where(jnp.isfinite(m), m, 0.0), -r * 3e5, r * 3e5)
-                 for m, r in zip(mom_i, rho_i)]
-        nE = sane(nE, 1.0, 1e23)
+        if sanitize:
+            rho_n, nE, rho_i, mom_i = sanitize_state(cfg, rho_n, nE, rho_i, mom_i)
 
         # ---- plasma properties
         ni = [r / mi for r in rho_i]
@@ -277,7 +276,9 @@ def make_physics(cfg: SolverConfig):
         d = rhs * inv
         b = jnp.ones_like(d)
         k = 1
-        for _ in range(8):
+        # levels span the coupled interior block (identity rows beyond it)
+        n_levels = max(1, int(np.ceil(np.log2(max(NC, 2)))))
+        for _ in range(n_levels):
             valid_m = lane >= k
             valid_p = lane < LANES - k
             am = jnp.where(valid_m, _roll(a, k), 0.0)
@@ -304,6 +305,19 @@ def make_physics(cfg: SolverConfig):
         return (rho_n_new, nE_new, tuple(rho_new), tuple(mom_new)), (j_d, Te, ne, E_z, nn)
 
     return physics
+
+
+def sanitize_state(cfg: SolverConfig, rho_n, nE, rho_i, mom_i):
+    """NaN/range scrub of the heavy-species + energy state (solver.py contract)."""
+    mi = cfg.mi
+    rho_floor = float(1e10 * mi)
+    sane = lambda x, lo, hi: jnp.clip(jnp.where(jnp.isfinite(x), x, lo), lo, hi)
+    rho_n = sane(rho_n, rho_floor, 1e21 * mi)
+    rho_i = [sane(r, rho_floor, 1e21 * mi) for r in rho_i]
+    mom_i = [jnp.clip(jnp.where(jnp.isfinite(m), m, 0.0), -r * 3e5, r * 3e5)
+             for m, r in zip(mom_i, rho_i)]
+    nE = sane(nE, 1.0, 1e23)
+    return rho_n, nE, list(rho_i), list(mom_i)
 
 
 def build_step_kernel(cfg: SolverConfig, interpret: bool = False):
@@ -403,7 +417,7 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
     A_ch = cfg.geometry.channel_area
     a_i2 = 1.380649e-23 * cfg.ion_temp_K / mi
     rho_floor = float(1e10 * mi)
-    physics = make_physics(cfg)
+    physics = make_physics(cfg, sanitize=False)  # scrubbed once per K-block below
     exit_ix = NC - 2
 
     def kernel(*refs):
@@ -466,11 +480,19 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
             )
             return (rho_n, nE, rho_i, mom_i, tuple(new_prof), sacc)
 
-        carry0 = (
+        # one scrub per K-block (identity for healthy states; physics runs lean)
+        rn0, nE0, ri0, mi0 = sanitize_state(
+            cfg,
             state_refs[0][:, :],
             state_refs[1][:, :],
-            tuple(state_refs[2 + 2 * z][:, :] for z in range(Z)),
-            tuple(state_refs[3 + 2 * z][:, :] for z in range(Z)),
+            [state_refs[2 + 2 * z][:, :] for z in range(Z)],
+            [state_refs[3 + 2 * z][:, :] for z in range(Z)],
+        )
+        carry0 = (
+            rn0,
+            nE0,
+            tuple(ri0),
+            tuple(mi0),
             tuple(prof_refs[j][:, :] for j in range(n_prof)),
             sacc_ref[:, :],
         )
