@@ -31,6 +31,51 @@ parser.add_argument("-m", "--max_workers", type=int, default=None, help="(parity
 parser.add_argument("-s", "--seed", type=int, default=0)
 parser.add_argument("-o", "--output_dir", default=None)
 parser.add_argument("--iqr_factor", type=float, default=1.5, help="IQR outlier threshold factor")
+parser.add_argument("--plots", action="store_true", help="save compression/test-set diagnostic plots")
+
+
+def save_plots(system, outputs, discard, out_dir):
+    """Compression-spectrum + outlier/test-set diagnostics (reference
+    ``gen_data.py:297-437`` plot_outliers/plot_compression/plot_test_set)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    for comp in system.components:
+        for var in comp.outputs:
+            c = var.compression
+            if c is None or c.data_matrix is None:
+                continue
+            s = np.linalg.svd(np.asarray(c.data_matrix), compute_uv=False)
+            fig, ax = plt.subplots(figsize=(4, 3))
+            ax.semilogy(s / s[0], "-o", ms=3)
+            ax.axvline(c.rank - 0.5, color="r", ls="--", label=f"rank {c.rank}")
+            ax.set_xlabel("mode")
+            ax.set_ylabel("normalized singular value")
+            ax.set_title(var.name)
+            ax.legend()
+            fig.tight_layout()
+            fig.savefig(out_dir / f"compression_{var.name}.png", dpi=110)
+            plt.close(fig)
+
+    scalars = [(k, np.asarray(v)) for k, v in outputs.items()
+               if np.asarray(v).ndim == 1 and np.asarray(v).dtype.kind == "f"]
+    if scalars:
+        n = len(scalars)
+        fig, axes = plt.subplots(1, n, figsize=(2.5 * n, 2.5), squeeze=False)
+        for ax, (k, v) in zip(axes[0], scalars):
+            good = v[~discard & np.isfinite(v)]
+            bad = v[discard & np.isfinite(v)]
+            ax.hist(good, bins=20, color="0.4", label="kept")
+            if bad.size:
+                ax.hist(bad, bins=20, color="r", alpha=0.5, label="discarded")
+            ax.set_title(k, fontsize=8)
+            ax.tick_params(labelsize=6)
+        axes[0][0].legend(fontsize=6)
+        fig.tight_layout()
+        fig.savefig(out_dir / "test_set_outliers.png", dpi=110)
+        plt.close(fig)
 
 
 def filter_outputs(outputs: dict, iqr_factor: float = 1.5):
@@ -107,6 +152,9 @@ def main(argv=None):
     process_compression(system, outputs, discard)
     path = system.save_to_file(f"{system.name}_compression.yml", out_dir)
     system.logger.info("saved %s", path)
+    if args.plots:
+        save_plots(system, outputs, discard, out_dir)
+        system.logger.info("saved diagnostic plots in %s", out_dir)
 
 
 if __name__ == "__main__":

@@ -95,6 +95,54 @@ def test_monte_carlo_script(workdir, monkeypatch):
         assert grp["T"].shape == (64,)
 
 
+def test_gen_data_plots(workdir):
+    import gen_data
+
+    cfg = str(workdir / "fake_pem.yml")
+    gen_data.main([cfg, "-c", "24", "-t", "12", "--plots"])
+    data_dir = workdir / "amisc_data"
+    assert (data_dir / "compression_u_ion.png").exists()
+    assert (data_dir / "test_set_outliers.png").exists()
+
+
+def test_run_mcmc_restart(workdir, monkeypatch):
+    """run_mcmc.py restart-from-chain capability (reference run.sh:15-24)."""
+    import run_mcmc
+
+    monkeypatch.chdir(workdir)
+    chain1 = str(workdir / "c1.h5")
+    run_mcmc.main([str(workdir / "fake_pem.yml"), "--niter", "40", "--walkers", "4",
+                   "--use-model", "best", "--file", chain1])
+    assert (workdir / "c1.h5").exists()
+    run_mcmc.main([str(workdir / "fake_pem.yml"), "--niter", "30", "--walkers", "4",
+                   "--use-model", "best", "--file", str(workdir / "c2.h5"),
+                   "--restart", chain1])
+    assert (workdir / "c2.h5").exists()
+
+
+def test_thruster_output_path(tmp_path):
+    """Raw per-batch solver output persistence (reference thruster.py:252-263,506-508)."""
+    import numpy as np
+
+    from hallthrusterpem_tpu.models.thruster import hallthruster_jl
+
+    out = hallthruster_jl(
+        {"P_b": np.array([1e-5]), "V_a": np.array([300.0]), "mdot_a": np.array([5e-6]),
+         "V_cc": np.array([30.0])},
+        thruster="SPT-100", config={"ncharge": 1},
+        simulation={"dt": 8e-9, "grid": {"num_cells": 50}, "duration": 4e-5},
+        postprocess={"average_start_time": 2e-5},
+        model_fidelity=None, output_path=str(tmp_path),
+    )
+    assert "output_path" in out
+    saved = tmp_path / out["output_path"]
+    assert saved.exists()
+    import json
+
+    tree = json.loads(saved.read_text())
+    assert "output" in tree and "average" in tree["output"]
+
+
 def test_debug_script():
     import debug
 
