@@ -21,10 +21,6 @@ from hallthrusterpem_tpu.surrogate.knots import barycentric_weights
 __all__ = ["TensorInterpolant", "tensor_grid_points"]
 
 
-def _cpu_device():
-    return jax.devices("cpu")[0]
-
-
 def tensor_grid_points(knots_1d: Sequence[np.ndarray]) -> np.ndarray:
     """Cartesian product of per-dim knot vectors -> (num_points, d) array (C order:
     last dim fastest)."""
@@ -93,27 +89,24 @@ def _eval_tensor_np(knots, weights, values, xq: np.ndarray) -> np.ndarray:
     return v
 
 
-def _factor(q, nodes, weights):
-    """Barycentric factor vector L(q): (n,) with sum 1; exact at nodes."""
-    diff = q - nodes
-    near = jnp.abs(diff) < 1e-13 * (1.0 + jnp.abs(nodes))
-    any_near = jnp.any(near)
-    safe = jnp.where(near, 1.0, diff)
-    terms = weights / safe
-    smooth = terms / jnp.sum(terms)
-    exact = near.astype(smooth.dtype)
-    exact = exact / jnp.maximum(jnp.sum(exact), 1.0)
-    return jnp.where(any_near, exact, smooth)
+def jit_eval_tensor(knots, weights, values, xq):
+    """Jittable barycentric tensor evaluation (for fusing a trained surrogate into
+    an on-device program, e.g. a jitted posterior). The host path uses
+    ``_eval_tensor_np``; this twin keeps the math available under ``jit``."""
 
+    def factor(q, nodes, w):
+        diff = q - nodes
+        near = jnp.abs(diff) < 1e-13 * (1.0 + jnp.abs(nodes))
+        terms = w / jnp.where(near, 1.0, diff)
+        smooth = terms / jnp.sum(terms)
+        exact = near.astype(smooth.dtype)
+        exact = exact / jnp.maximum(jnp.sum(exact), 1.0)
+        return jnp.where(jnp.any(near), exact, smooth)
 
-def _eval_one(knots, weights, values, q):
-    v = values
-    for d in range(len(knots)):
-        L = _factor(q[d], knots[d], weights[d])
-        v = jnp.tensordot(L, v, axes=[[0], [0]])
-    return v
+    def eval_one(q):
+        v = values
+        for d in range(len(knots)):
+            v = jnp.tensordot(factor(q[d], knots[d], weights[d]), v, axes=[[0], [0]])
+        return v
 
-
-@jax.jit
-def _eval_tensor(knots, weights, values, xq):
-    return jax.vmap(lambda q: _eval_one(knots, weights, values, q))(xq)
+    return jax.vmap(eval_one)(xq)
