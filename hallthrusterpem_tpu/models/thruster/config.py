@@ -67,6 +67,10 @@ class SolverConfig:
     anode_Te: float = 2.0  # eV Dirichlet BC
     mdot_bohm_fraction: float = 1.0  # anode sheath Bohm-speed limiter scale
     reconstruct: bool = True  # MUSCL minmod reconstruction (2nd-order heavy fluxes)
+    #: electron-repelling anode sheath: part of the applied voltage drops in a
+    #: sheath that throttles the electron current collected by the anode
+    #: (HallThruster.jl's default anode boundary is a sheath, not Dirichlet)
+    anode_sheath: bool = True
     dtype: str = "float32"
 
     @property

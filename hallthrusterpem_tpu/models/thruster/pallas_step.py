@@ -142,6 +142,15 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
         num_int = jnp.sum(num_igd, axis=1, keepdims=True) * dz
         den_int = jnp.sum(den_igd, axis=1, keepdims=True) * dz
         j_d = (dV + num_int) / den_int
+        if cfg.anode_sheath:
+            # electron-repelling anode sheath (mirrors solver.py): per-row scalars
+            ne1 = ne[:, 1][:, None]
+            Te1 = Te[:, 1][:, None]
+            j_i1 = j_i[:, 1][:, None]
+            j_e_th = _E * ne1 * jnp.sqrt(_E * Te1 / (2.0 * np.pi * _ME))
+            j_e_req = jnp.maximum(j_d - j_i1, 1e-6 * j_e_th)
+            phi_s = jnp.clip(Te1 * jnp.log(j_e_th / j_e_req), 0.0, 0.5 * jnp.abs(dV))
+            j_d = (dV - phi_s + num_int) / den_int
         E_z = (j_d - j_i) / enmu - grad_pe / ne
 
         # ---- heavy-species ghost cells

@@ -211,6 +211,15 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
         num_int = jnp.sum(num_igd[1:-1]) * dz
         den_int = jnp.sum(den_igd[1:-1]) * dz
         j_d = (dV + num_int) / den_int
+        if cfg.anode_sheath:
+            # electron-repelling anode sheath: the sheath drop phi_s adjusts so the
+            # electron flux reaching the anode matches the circuit current; one
+            # fixed-point pass (j_d -> phi_s -> j_d) is enough because phi_s enters
+            # only through the slowly-varying voltage balance.
+            j_e_th = _E * ne[1] * jnp.sqrt(_E * Te[1] / (2.0 * jnp.pi * _ME))
+            j_e_req = jnp.maximum(j_d - j_i[1], 1e-6 * j_e_th)
+            phi_s = jnp.clip(Te[1] * jnp.log(j_e_th / j_e_req), 0.0, 0.5 * jnp.abs(dV))
+            j_d = (dV - phi_s + num_int) / den_int
         E_z = (j_d - j_i) / enmu - grad_pe / ne
         u_e = -(j_d - j_i) / (_E * ne)
 
