@@ -177,8 +177,55 @@ def main(argv=None):
 
         ndscatter(flat[:: max(1, len(flat) // 5000)], labels=names, save_path="mcmc_corner.png")
         print("saved mcmc_corner.png")
+        journal_plots(system, args, names, flat, ops, obs, sig)
+        print("saved mcmc_predictive.png")
     except Exception as e:  # plotting is best-effort
-        print("corner plot skipped:", e)
+        print("plots skipped:", e)
+
+
+def journal_plots(system, args, names, flat, ops, obs, sig, n_draws: int = 200):
+    """Posterior-predictive QoIs vs background pressure against the data
+    (capability parity with reference ``mcmc.py:344-399`` journal_plots)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rng = np.random.default_rng(0)
+    draws = flat[rng.integers(0, len(flat), n_draws)]
+    pressures = np.geomspace(max(ops["P_b"].min() * 0.5, 1e-7), ops["P_b"].max() * 2, 12)
+
+    qois = [q for q in obs if np.ndim(obs[q]) == 1]
+    fig, axes = plt.subplots(1, len(qois), figsize=(3.2 * len(qois), 2.8), squeeze=False)
+    for ax, q in zip(axes[0], qois):
+        preds = np.empty((n_draws, len(pressures)))
+        for i, theta in enumerate(draws):
+            batch = {}
+            for v in system.inputs():
+                if v.name == "P_b":
+                    batch[v.name] = pressures
+                elif v.name in ops:
+                    batch[v.name] = np.full(len(pressures), float(np.median(ops[v.name])))
+                elif v.name in names:
+                    batch[v.name] = np.full(len(pressures), theta[names.index(v.name)])
+                else:
+                    nom = v.nominal if v.nominal is not None else 0.5 * sum(v.get_domain())
+                    batch[v.name] = np.full(len(pressures), float(nom))
+            out = system.predict(batch, use_model=args.use_model, qoi_ind=[q])
+            preds[i] = np.asarray(out[q], dtype=float)
+        lo, mid, hi = np.nanpercentile(preds, [5, 50, 95], axis=0)
+        ax.fill_between(pressures, lo, hi, alpha=0.3, color="0.5")
+        ax.plot(pressures, mid, "-k", lw=1)
+        mask = np.isfinite(obs[q])
+        ax.errorbar(ops["P_b"][mask], obs[q][mask], yerr=2 * sig[q][mask], fmt="o", ms=4,
+                    color="r", label="data")
+        ax.set_xscale("log")
+        ax.set_xlabel("background pressure (Torr)")
+        ax.set_ylabel(q)
+        ax.legend(fontsize=7)
+    fig.tight_layout()
+    fig.savefig("mcmc_predictive.png", dpi=120)
+    plt.close(fig)
 
 
 if __name__ == "__main__":
