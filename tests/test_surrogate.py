@@ -186,3 +186,62 @@ def test_field_output_with_compression():
     truth = model(x_test)["prof"]
     assert rec.shape == truth.shape
     assert relative_l2(rec, truth, axis=-1) < 0.01
+
+
+def test_multifidelity_thruster_regridding():
+    """Model-fidelity refinement changes the solver grid (ncells = 50*(a0+2));
+    field outputs must regrid onto the compression coordinates before SVD
+    projection (the '{var}_coords' convention, SURVEY.md §5.7)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from hallthrusterpem_tpu.core.component import Component
+    from hallthrusterpem_tpu.core.variables import Compression, Variable
+    from hallthrusterpem_tpu.models.thruster import hallthruster_jl
+    from hallthrusterpem_tpu.surrogate.component import ComponentSurrogate
+
+    def fast_thruster(inputs, model_fidelity=(0, 0)):
+        return hallthruster_jl(
+            inputs, thruster="SPT-100", model_fidelity=model_fidelity,
+            simulation={"dt": 1.0e-8, "duration": 6e-5},
+            postprocess={"average_start_time": 3e-5},
+            fidelity_function=lambda alpha, cfgd: {
+                "num_cells": 40 + 20 * alpha[0], "ncharge": 1, "dt": 1.0e-8,
+            },
+        )
+
+    u_ion = Variable(name="u_ion", norm="linear(1e-3)",
+                     compression=Compression(reconstruction_tol=0.05))
+    comp = Component(
+        name="FastThruster",
+        model=fast_thruster,
+        model_fidelity=(1, 0),
+        data_fidelity=(1, 1),
+        inputs=[
+            Variable(name="V_a", domain=(280.0, 320.0)),
+            Variable(name="mdot_a", domain=(4e-6, 6e-6), norm="linear(1e6)"),
+        ],
+        outputs=[Variable(name="T", domain=(0.0, 0.2)), u_ion],
+    )
+
+    # compression map on the base (alpha=0) grid: 42 points
+    base = fast_thruster({"V_a": np.linspace(280, 320, 6), "mdot_a": np.full(6, 5e-6)})
+    u_ion.compression.coords = np.asarray(base["u_ion_coords"])[0]
+    u_ion.compression.data_matrix = np.asarray(u_ion.normalize(base["u_ion"])).T
+    u_ion.compression.compute_map()
+
+    surr = ComponentSurrogate(comp)
+    surr.initialize()
+    # activate a model-fidelity (alpha) refinement: solver now runs 60 cells (62 pts)
+    surr.activate_index((1, 0, 0, 0))
+    assert (1, 0, 0, 0) in surr.interpolants
+    assert (1, 0) in surr.eval_cache and (0, 0) in surr.eval_cache  # separate caches
+
+    pred = surr.predict({"V_a": np.array([300.0]), "mdot_a": np.array([5e-6])}, training=True)
+    rec = np.asarray(surr.reconstruct_field("u_ion", pred["u_ion"]))
+    assert rec.shape == (1, 42)  # reconstructed on the compression grid
+    assert np.all(np.isfinite(rec))
+    t_pred = float(np.asarray(pred["T"])[0])
+    assert np.isfinite(t_pred) and -0.01 <= t_pred < 0.2  # tiny test sim: near-zero OK
