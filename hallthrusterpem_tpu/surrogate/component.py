@@ -209,7 +209,10 @@ class ComponentSurrogate:
             bad = ~np.isfinite(vals)
             if bad.any():
                 n_bad = int((~np.isfinite(vals).all(axis=1)).sum())
-                with np.errstate(all="ignore"):
+                import warnings
+
+                with np.errstate(all="ignore"), warnings.catch_warnings():
+                    warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN columns -> repaired below
                     med = np.nanmedian(np.where(np.isfinite(vals), vals, np.nan), axis=0)
                 med = np.where(np.isfinite(med), med, 0.0)
                 vals = np.where(bad, np.broadcast_to(med, vals.shape), vals)
@@ -334,6 +337,40 @@ class ComponentSurrogate:
             total = val if total is None else total + val
         total = total.reshape(batch_shape + (self.n_out,))
         return self.unpack_outputs(total, denormalize=denormalize)
+
+    def as_jax_fn(self, training: bool = True, denormalize: bool = True):
+        """Return a *jittable* ``fn(inputs) -> outputs`` evaluating the frozen MISC
+        combination on-device — for fusing a trained surrogate into a jitted
+        program (e.g. an on-device MCMC posterior or a vmapped Sobol' sweep).
+        The host-side :meth:`predict` stays NumPy (latency; see interpolate.py).
+        """
+        from hallthrusterpem_tpu.surrogate.interpolate import jit_eval_tensor
+
+        index_set = self.active if training else (self.active | self.candidates_with_interp())
+        items = [
+            (
+                tuple(jnp.asarray(k, jnp.float32) for k in self.interpolants[kappa].knots),
+                tuple(jnp.asarray(w, jnp.float32) for w in self.interpolants[kappa]._weights),
+                jnp.asarray(self.interpolants[kappa].values, jnp.float32),
+                float(c),
+            )
+            for kappa, c in self._coeffs_cached(index_set).items()
+        ]
+        in_vars = list(self.inputs)
+        self._build_layout()
+
+        def fn(inputs: Dataset) -> Dataset:
+            cols = [jnp.ravel(v.normalize(jnp.asarray(inputs[v.name], jnp.float32))) for v in in_vars]
+            batch_shape = jnp.asarray(inputs[in_vars[0].name]).shape
+            x = jnp.stack(cols, axis=-1)
+            total = None
+            for knots, weights, values, c in items:
+                val = jit_eval_tensor(knots, weights, values, x) * c
+                total = val if total is None else total + val
+            total = total.reshape(batch_shape + (self.n_out,))
+            return self.unpack_outputs(total, denormalize=denormalize)
+
+        return fn
 
     def candidates_with_interp(self) -> set:
         return {k for k in self.candidates if k in self.interpolants}

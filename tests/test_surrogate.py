@@ -245,3 +245,22 @@ def test_multifidelity_thruster_regridding():
     assert np.all(np.isfinite(rec))
     t_pred = float(np.asarray(pred["T"])[0])
     assert np.isfinite(t_pred) and -0.01 <= t_pred < 0.2  # tiny test sim: near-zero OK
+
+
+def test_as_jax_fn_matches_numpy_predict():
+    """Device-side jittable surrogate == host NumPy predict (toy system)."""
+    import jax
+
+    comp = _toy_component()
+    surr = ComponentSurrogate(comp)
+    surr.initialize()
+    for kappa in [(1, 0), (0, 1), (1, 1)]:
+        surr.activate_index(kappa)
+
+    rng = np.random.default_rng(3)
+    xt = {"x": rng.uniform(-1, 1, 50), "y": rng.uniform(0, 2, 50)}
+    host = surr.predict(xt, training=True)
+    fn = jax.jit(surr.as_jax_fn(training=True))
+    dev = fn({k: np.asarray(v, np.float32) for k, v in xt.items()})
+    for k in ("f", "g"):
+        assert np.allclose(np.asarray(dev[k]), np.asarray(host[k], dtype=float), atol=2e-4)
