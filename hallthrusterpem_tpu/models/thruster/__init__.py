@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import copy
 import json
+import os
 import time
 from pathlib import Path
 from typing import Callable, Optional
@@ -93,6 +94,9 @@ def _tree_to_solver_inputs(tree: dict):
         pressure_shift=shift,
         ion_wall_losses=bool(config.get("ion_wall_losses", True)),
         apply_thrust_divergence_correction=bool(config.get("apply_thrust_divergence_correction", False)),
+        # discharge-current time traces (simulation.num_save) force the lax path;
+        # opt in via HTPEM_TRACES=1 so production batches keep the Pallas kernel
+        num_save=int(sim.get("num_save", 0)) if os.environ.get("HTPEM_TRACES") == "1" else 0,
     )
 
     overrides = {}
@@ -145,7 +149,7 @@ def solver_backend(cfg: SolverConfig) -> tuple[str, int]:
     on_tpu = jax.default_backend() == "tpu"
     choice = os.environ.get("HTPEM_SOLVER", "")
     if not choice:
-        choice = "pallas" if (on_tpu and cfg.nc <= 254) else "lax"
+        choice = "pallas" if (on_tpu and cfg.nc <= 254 and cfg.num_save == 0) else "lax"
     chunk = int(os.environ.get("HTPEM_CHUNK_STEPS", "2000" if on_tpu else "0"))
     return choice, chunk
 
@@ -157,7 +161,8 @@ def dispatch_solver(params: dict, base_B, cfg: SolverConfig) -> dict:
         from hallthrusterpem_tpu.models.thruster.pallas_step import simulate_batch_pallas_multi
 
         return simulate_batch_pallas_multi(params, base_B, cfg)
-    if chunk > 0 and cfg.num_steps > chunk:
+    if chunk > 0 and cfg.num_steps > chunk and cfg.num_save == 0:
+        # (chunked dispatch drops time traces; num_save runs go monolithic)
         from hallthrusterpem_tpu.models.thruster.solver import simulate_batch_chunked
 
         return simulate_batch_chunked(params, base_B, cfg, chunk_steps=chunk)
@@ -213,6 +218,9 @@ def run_simulation(json_input: dict, **_compat) -> dict:
         "potential": raw["potential"],
         "E": raw["E"],
     }
+    if "discharge_current_trace" in raw:
+        average["discharge_current_trace"] = raw["discharge_current_trace"]
+        average["trace_times"] = raw["trace_times"]
     output_tree = {
         "output": {"average": average},
         "config": json_input.get("config", {}),

@@ -71,6 +71,10 @@ class SolverConfig:
     #: sheath that throttles the electron current collected by the anode
     #: (HallThruster.jl's default anode boundary is a sheath, not Dirichlet)
     anode_sheath: bool = True
+    #: number of evenly-spaced time-series snapshots of the discharge current to
+    #: record (the reference's ``simulation.num_save``; 0 = averages only).
+    #: Diagnostics feature of the lax path (the Pallas path returns averages).
+    num_save: int = 0
     dtype: str = "float32"
 
     @property

@@ -378,7 +378,8 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
             "E": accum["E"] + w_avg * E_z,
             "nn": accum["nn"] + w_avg * nn,
         }
-        return ((rho_n_new, rho_i_new, mom_i_new, nE_new), new_accum, i + 1, failed), None
+        ys = I_d if cfg.num_save > 0 else None
+        return ((rho_n_new, rho_i_new, mom_i_new, nE_new), new_accum, i + 1, failed), ys
 
     accum0 = {
         "thrust": jnp.zeros((), f),
@@ -398,8 +399,16 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
     if _return_step:
         return step, carry0
 
-    (state_f, accum, _, failed), _ = jax.lax.scan(step, carry0, None, length=cfg.num_steps)
-    return _finalize_one(p, accum, failed, nu_anom, B, cfg)
+    (state_f, accum, _, failed), trace = jax.lax.scan(step, carry0, None, length=cfg.num_steps)
+    out = _finalize_one(p, accum, failed, nu_anom, B, cfg)
+    if cfg.num_save > 0:
+        # evenly-spaced I_d(t) snapshots (the reference's simulation.num_save;
+        # breathing-mode spectra are a standard discharge diagnostic)
+        stride = max(1, cfg.num_steps // cfg.num_save)
+        idx = jnp.arange(cfg.num_save) * stride
+        out["discharge_current_trace"] = jnp.where(failed, jnp.nan, trace[idx])
+        out["trace_times"] = (idx.astype(jnp.float32) + 1.0) * cfg.dt
+    return out
 
 
 def _finalize_one(p: dict, accum: dict, failed, nu_anom, B, cfg: SolverConfig) -> dict:
