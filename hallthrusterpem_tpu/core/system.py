@@ -261,7 +261,18 @@ class System:
             if use_model is None and comp.surrogate is not None:
                 out = comp.surrogate.predict(batch, training=training)
             else:
-                out = comp.call_model(batch)
+                extra = {}
+                if model_dir is not None:
+                    # persist raw model outputs per component (reference gen_data
+                    # passes model_dir so the thruster dumps its solver output,
+                    # gen_data.py:94-98); only models that accept output_path save
+                    comp_dir = Path(model_dir) / comp.name
+                    comp_dir.mkdir(parents=True, exist_ok=True)
+                    extra["output_path"] = str(comp_dir)
+                if use_model == "worst":
+                    # lowest model fidelity (reference plot_slice show_model lists)
+                    extra["model_fidelity"] = tuple(0 for _ in comp.model_fidelity)
+                out = comp.call_model(batch, **extra)
             for k, v in out.items():
                 data[k] = v
 

@@ -68,8 +68,10 @@ def plot_slice(
         base[var.name] = sweep
 
         results = {}
-        if any(m in ("best", "worst", "truth") for m in show_model):
+        if any(m in ("best", "truth") for m in show_model):
             results["model"] = system.predict(base, use_model="best")
+        if "worst" in show_model:
+            results["model (lowest fidelity)"] = system.predict(base, use_model="worst")
         if "surrogate" in show_model or any(c.surrogate is not None for c in system.components):
             results["surrogate"] = system.predict(base, use_model=None, training=True)
 
