@@ -53,11 +53,18 @@ class SolverConfig:
     ion_wall_losses: bool = True
     electron_wall_losses: bool = True
     #: electron-wall MOMENTUM collisionality as a fraction of the Landmark 1e7 s^-1
-    #: energy-loss frequency: full Landmark (1.0) over-predicts discharge current
+    #: base frequency: full Landmark (1.0) over-predicts discharge current
     #: ~50% vs published SPT-100 data; 0.5 balances nominal-point accuracy
     #: (T~=84 mN at 300 V / 5.16 mg/s) against low-power-mode stability
     #: (see scripts/validate_solver.py)
     wall_momentum_scale: float = 0.5
+    #: electron-wall ENERGY loss as a multiple of the Landmark 1e7 s^-1 base.
+    #: 1.0 = faithful Landmark. A x2 scale stabilizes the deep breathing cycle at
+    #: SPT-100 nominal (depth 13 -> 1.2, I_d -> 4.99 A) but quenches low-flow
+    #: operation; a high-Te quadratic enhancement does the reverse — see
+    #: docs/validation.md "Breathing-mode stability study". Kept at 1.0 pending a
+    #: proper wall-sheath (SEE) model in round 2.
+    wall_energy_scale: float = 1.0
     apply_thrust_divergence_correction: bool = False
     neutral_temp_K: float = 500.0
     ion_temp_K: float = 1000.0

@@ -337,7 +337,7 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
         # rows for interior cells i=1..NC-2 ; face f- = i-1, f+ = i
         fm = slice(0, NC - 2)
         fp = slice(1, NC - 1)
-        nu_eps = cfg.electron_wall_losses * p["c_w"] * 1e7 * jnp.exp(-20.0 / Te) * in_channel
+        nu_eps = (cfg.electron_wall_losses * cfg.wall_energy_scale * 1e7) * p["c_w"] * jnp.exp(-20.0 / Te) * in_channel
         n_c = ne_new[1:-1]
         sub = (-Gp[fm] - kf[fm]) / dz
         sup = (Gn[fp] - kf[fp]) / dz
