@@ -62,9 +62,16 @@ class SolverConfig:
     #: 1.0 = faithful Landmark. A x2 scale stabilizes the deep breathing cycle at
     #: SPT-100 nominal (depth 13 -> 1.2, I_d -> 4.99 A) but quenches low-flow
     #: operation; a high-Te quadratic enhancement does the reverse — see
-    #: docs/validation.md "Breathing-mode stability study". Kept at 1.0 pending a
-    #: proper wall-sheath (SEE) model in round 2.
+    #: docs/validation.md "Breathing-mode stability study".
     wall_energy_scale: float = 1.0
+    #: electron-wall energy loss model: "landmark" (nu = 1e7 exp(-20/Te)) or
+    #: "sheath" — a BN secondary-electron-emission wall sheath: electron wall flux
+    #: balances the Bohm ion flux amplified by 1/(1-gamma(Te)); as the SEE yield
+    #: approaches the space-charge crossover the sheath collapses and losses grow
+    #: steeply (the physical mechanism HallThruster.jl's WallSheath captures).
+    wall_loss_type: str = "sheath"
+    see_crossover_eV: float = 45.0  # BN sigma(E) = (E/eps*)^0.576 energy scale
+    see_gamma_max: float = 0.983  # space-charge-limited yield ceiling
     apply_thrust_divergence_correction: bool = False
     neutral_temp_K: float = 500.0
     ion_temp_K: float = 1000.0

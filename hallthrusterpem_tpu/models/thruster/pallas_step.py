@@ -257,7 +257,8 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
         kf = 0.5 * (kap + _roll(kap, -1)) / dz
         Gp = 2.5 * jnp.maximum(G_f, 0.0)
         Gn = 2.5 * jnp.minimum(G_f, 0.0)
-        nu_eps = (cfg.electron_wall_losses * cfg.wall_energy_scale * 1e7) * c_w * jnp.exp(-20.0 / Te) * in_channel
+        from hallthrusterpem_tpu.models.thruster.solver import wall_energy_loss_rate as _welr
+        nu_eps = cfg.electron_wall_losses * _welr(Te, ne, in_channel, c_w, cfg)
         q_ohm = (j_d - j_i) * E_z / _E
 
         # row i uses faces f-=i-1 (roll +1) and f+=i

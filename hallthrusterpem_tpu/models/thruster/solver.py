@@ -72,6 +72,29 @@ def _pressure_shift_m(p, cfg: SolverConfig, z_ch: float):
     return (p["shift_z0"] + p["shift_dz"] * (1.0 - sig)) * z_ch
 
 
+def wall_energy_loss_rate(Te, ne, in_channel, c_w, cfg: SolverConfig, xp=jnp):
+    """Electron-wall energy-loss frequency nu_eps [1/s] such that the volumetric
+    loss is ``nu_eps * (3/2 n Te)``. Two models (cfg.wall_loss_type):
+
+    - "landmark": nu = scale * c_w * 1e7 * exp(-20/Te) inside the channel.
+    - "sheath": Maxwellian-averaged BN SEE yield ``gamma = min(gmax, 1.4 (Te/e*)^0.576)``,
+      wall sheath ``phi_w = Te ln((1-gamma) sqrt(mi/(2 pi me)))``; electron wall
+      flux balances the Bohm ion wall flux amplified by 1/(1-gamma); each lost
+      electron removes ``2 Te + phi_w``. Loss rate diverges smoothly toward the
+      space-charge crossover — damping the ionization runaway at high Te while
+      staying gentle at low Te.
+    """
+    if cfg.wall_loss_type == "sheath":
+        gamma = xp.minimum(cfg.see_gamma_max, 1.4 * (Te / cfg.see_crossover_eV) ** 0.576)
+        one_m_g = 1.0 - gamma
+        phi_w = xp.maximum(Te * xp.log(one_m_g * float(np.sqrt(cfg.mi / (2 * np.pi * _ME)))), 0.0)
+        u_bohm = xp.sqrt(_E * Te / cfg.mi)
+        nu_iw = 0.6 * u_bohm / cfg.geometry.channel_gap  # Bohm ion wall flux / n
+        nu_ew = nu_iw / one_m_g
+        return cfg.wall_energy_scale * c_w * nu_ew * (2.0 * Te + phi_w) / (1.5 * Te) * in_channel
+    return cfg.wall_energy_scale * c_w * 1e7 * xp.exp(-20.0 / Te) * in_channel
+
+
 def anomalous_profile(p, z, cfg: SolverConfig):
     """Dimensionless anomalous collision coefficient alpha(z) (nu_anom = alpha * w_ce)."""
     z_ch = cfg.geometry.channel_length
@@ -337,7 +360,7 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
         # rows for interior cells i=1..NC-2 ; face f- = i-1, f+ = i
         fm = slice(0, NC - 2)
         fp = slice(1, NC - 1)
-        nu_eps = (cfg.electron_wall_losses * cfg.wall_energy_scale * 1e7) * p["c_w"] * jnp.exp(-20.0 / Te) * in_channel
+        nu_eps = cfg.electron_wall_losses * wall_energy_loss_rate(Te, ne, in_channel, p["c_w"], cfg)
         n_c = ne_new[1:-1]
         sub = (-Gp[fm] - kf[fm]) / dz
         sup = (Gn[fp] - kf[fp]) / dz
