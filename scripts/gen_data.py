@@ -141,6 +141,9 @@ def process_compression(system, outputs, discard):
 
 def main(argv=None):
     args = parser.parse_args(argv)
+    if args.num_samples < 2 or args.test_samples < 1:
+        parser.error("need at least 2 compression samples and 1 test sample "
+                     "(compression maps would be degenerate)")
     system = YamlLoader.load(args.config_file)
     system.set_logger(stdout=True)
     out_dir = Path(args.output_dir) if args.output_dir else (Path(args.config_file).parent / "amisc_data")
