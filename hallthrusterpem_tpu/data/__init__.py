@@ -16,6 +16,9 @@ ready for jitted likelihoods.
 from hallthrusterpem_tpu.data.loader import (
     DataEntry,
     DataField,
+    DataInstance,
+    load_single_dataset,
+    load_multiple_datasets,
     HT_COORDS,
     HT_DERIVED_COLS,
     HT_OP_VARS,
@@ -31,6 +34,9 @@ from hallthrusterpem_tpu.data.loader import (
 __all__ = [
     "DataEntry",
     "DataField",
+    "DataInstance",
+    "load_single_dataset",
+    "load_multiple_datasets",
     "HT_OP_VARS",
     "HT_COORDS",
     "HT_QOIS",

@@ -17,6 +17,9 @@ import pandas as pd
 __all__ = [
     "DataField",
     "DataEntry",
+    "DataInstance",
+    "load_single_dataset",
+    "load_multiple_datasets",
     "HT_OP_VARS",
     "HT_COORDS",
     "HT_QOIS",
@@ -220,6 +223,22 @@ def load_ht_dataset(file, op_vars: Optional[dict] = None, qois: Optional[dict] =
             fields[qoi] = DataField(val=val, std=std, unit=spec["unit"], coords=coords)
         entries.append(DataEntry(operating_condition=opcond, data=fields))
     return entries
+
+
+#: ``pem_core.data.DataInstance`` parity (reference ``data.py:103,268``): the
+#: qoi-name -> DataField mapping attached to a DataEntry.
+DataInstance = dict
+
+
+def load_single_dataset(file, op_vars=None, qois=None, **_kw) -> list[DataEntry]:
+    """``pem_core.data.load_single_dataset`` parity (reference ``data.py:103,215``);
+    the generic CSV loader that :func:`load_ht_dataset` wraps with HT defaults."""
+    return load_ht_dataset(file, op_vars=op_vars, qois=qois)
+
+
+def load_multiple_datasets(files, op_vars=None, qois=None, **_kw) -> list[DataEntry]:
+    """``pem_core.data.load_multiple_datasets`` parity (reference ``data.py:230``)."""
+    return load_ht_datasets(files, op_vars=op_vars, qois=qois)
 
 
 def _uncertainty(work, units, qoi, rows, val, target_unit):
