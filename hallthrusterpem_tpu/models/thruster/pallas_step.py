@@ -20,6 +20,7 @@ step — enforced by ``tests/test_pallas.py`` in interpret mode.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -39,8 +40,23 @@ from hallthrusterpem_tpu.models.thruster.rates import (
 _E = FUNDAMENTAL_CHARGE
 _ME = ELECTRON_MASS
 
-LANES = 256
-TILE_B = 8
+LANES = 256  # maximum lane width (254-cell configs)
+TILE_B = 8  # minimum batch-tile height (one f32 vreg of sublanes)
+
+
+def lanes_for(cfg) -> int:
+    """Lane width of the kernel layout for a config. f32 vregs are 128 lanes
+    wide, so grids with nc <= 126 run the whole solve in half the data volume
+    (every fidelity-(0,*) surrogate-training eval: 100 cells -> 102 lanes)."""
+    return 128 if cfg.nc <= 126 else LANES
+
+
+def tile_b_for(batch: int) -> int:
+    """Batch-tile height. The kernel is dominated by Mosaic per-instruction
+    overhead on tiny (8, 256) tiles, not by VPU data throughput — 32 sublanes
+    per instruction amortizes it ~1.8x (measured 202 -> 113 us/step at B=1024
+    on v5e; 64+ plateaus and risks the 16 MB scoped-VMEM limit)."""
+    return 32 if batch > 16 else TILE_B
 
 # per-sample scalar slots in the packed params block
 _P_DV, _P_MDOT, _P_UN, _P_CW, _P_TECATH = range(5)
@@ -54,14 +70,14 @@ def _poly_eval(coeffs: np.ndarray, x):
     return out
 
 
-def _lane_iota(dtype=jnp.int32):
-    return jax.lax.broadcasted_iota(dtype, (TILE_B, LANES), dimension=1)
+def _lane_iota(shape, dtype=jnp.int32):
+    return jax.lax.broadcasted_iota(dtype, shape, dimension=1)
 
 
 def _roll(x, shift: int):
     """x shifted so out[:, i] = x[:, i - shift] (circular roll along lanes;
     pltpu.roll only accepts non-negative shifts)."""
-    return pltpu.roll(x, shift % LANES, axis=1)
+    return pltpu.roll(x, shift % x.shape[-1], axis=1)
 
 
 def make_physics(cfg: SolverConfig, sanitize: bool = True):
@@ -74,6 +90,7 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
     NC = cfg.nc
     if NC > LANES - 2:
         raise ValueError(f"num_cells={cfg.num_cells} exceeds the {LANES}-lane kernel layout")
+    LN = lanes_for(cfg)
     Z = cfg.ncharge
     dz = cfg.dz
     dt = cfg.dt
@@ -90,9 +107,15 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
 
     rho_floor = float(1e10 * mi)
     ne_floor = 1e12
+    # strength-reduced constants: the VPU is the bottleneck and divisions cost
+    # several multiplies each, so every divide-by-constant becomes a multiply
+    inv_mi = 1.0 / mi
+    inv_dz = 1.0 / dz
+    inv_dt = 1.0 / dt
 
-    def physics(rho_n, nE, rho_i, mom_i, nu_anom, omega_ce, dV, mdot_in, u_n, c_w, te_cath):
-        lane = _lane_iota()
+    def physics(rho_n, nE, rho_i, mom_i, nu_anom, omega_ce, dV, mdot_in, u_n, c_w, te_cath,
+                u_i_pre=None):
+        lane = _lane_iota(rho_n.shape)
         interior = (lane >= 1) & (lane <= NC - 2)
         in_domain = lane <= NC - 1
         fint = jnp.float32
@@ -108,23 +131,30 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
             rho_n, nE, rho_i, mom_i = sanitize_state(cfg, rho_n, nE, rho_i, mom_i)
 
         # ---- plasma properties
-        ni = [r / mi for r in rho_i]
+        ni = [r * inv_mi for r in rho_i]
         ne = ni[0] * zq[0]
         for z in range(1, Z):
             ne = ne + zq[z] * ni[z]
         ne = jnp.maximum(ne, ne_floor)
-        Te = jnp.clip((2.0 / 3.0) * nE / ne, cfg.Te_min, cfg.Te_max)
-        nn = jnp.maximum(rho_n / mi, 1e6)
-        u_i = [m / jnp.maximum(r, rho_floor) for m, r in zip(mom_i, rho_i)]
+        inv_ne = 1.0 / ne
+        Te = jnp.clip((2.0 / 3.0) * nE * inv_ne, cfg.Te_min, cfg.Te_max)
+        nn = jnp.maximum(rho_n * inv_mi, 1e6)
+        # the K-step kernel threads the previous step's post-update velocities
+        # through the carry (u_i_pre) so the divide happens once per step
+        if u_i_pre is None:
+            u_i = [m / jnp.maximum(r, rho_floor) for m, r in zip(mom_i, rho_i)]
+        else:
+            u_i = list(u_i_pre)
 
         # ---- collisions & mobility
         lnTe = jnp.log(Te)
         lnL = jnp.clip(23.0 - 0.5 * jnp.log(ne * 1e-6) + 1.5 * lnTe, 2.0, 30.0)
-        nu_ei = 2.9e-12 * ne * lnL * jnp.exp(-1.5 * lnTe)
+        rs_te = jax.lax.rsqrt(Te)
+        nu_ei = 2.9e-12 * ne * lnL * (rs_te * rs_te * rs_te)  # Te^-1.5 sans exp
         nu_ew = (cfg.electron_wall_losses * cfg.wall_momentum_scale * 1e7) * c_w * in_channel
         nu_e = k_en * nn + nu_ei + nu_anom + nu_ew
-        inv_nu = 1.0 / nu_e
-        mu = (_E / _ME) * inv_nu / (1.0 + (omega_ce * inv_nu) ** 2)
+        # mu = (e/me)/nu / (1+(w/nu)^2) == (e/me) nu/(nu^2+w^2): one divide
+        mu = (_E / _ME) * nu_e / (nu_e * nu_e + omega_ce * omega_ce)
 
         # ---- Ohm's law (direct integration; lane reductions)
         j_i = zq[0] * ni[0] * u_i[0]
@@ -132,13 +162,14 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
             j_i = j_i + zq[z] * ni[z] * u_i[z]
         j_i = _E * j_i
         pe = ne * Te
-        grad_pe = (_roll(pe, -1) - _roll(pe, 1)) * (0.5 / dz)
-        grad_pe = jnp.where(lane == 0, (_roll(pe, -1) - pe) / dz, grad_pe)
-        grad_pe = jnp.where(lane == NC - 1, (pe - _roll(pe, 1)) / dz, grad_pe)
+        grad_pe = (_roll(pe, -1) - _roll(pe, 1)) * (0.5 * inv_dz)
+        grad_pe = jnp.where(lane == 0, (_roll(pe, -1) - pe) * inv_dz, grad_pe)
+        grad_pe = jnp.where(lane == NC - 1, (pe - _roll(pe, 1)) * inv_dz, grad_pe)
         grad_pe = jnp.where(in_domain, grad_pe, 0.0)
-        enmu = _E * ne * mu
-        num_igd = (j_i / enmu + grad_pe / ne) * interior_f
-        den_igd = (1.0 / enmu) * interior_f
+        inv_enmu = 1.0 / (_E * ne * mu)
+        gpe_ne = grad_pe * inv_ne
+        num_igd = (j_i * inv_enmu + gpe_ne) * interior_f
+        den_igd = inv_enmu * interior_f
         num_int = jnp.sum(num_igd, axis=1, keepdims=True) * dz
         den_int = jnp.sum(den_igd, axis=1, keepdims=True) * dz
         j_d = (dV + num_int) / den_int
@@ -151,7 +182,7 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
             j_e_req = jnp.maximum(j_d - j_i1, 1e-6 * j_e_th)
             phi_s = jnp.clip(Te1 * jnp.log(j_e_th / j_e_req), 0.0, 0.5 * jnp.abs(dV))
             j_d = (dV - phi_s + num_int) / den_int
-        E_z = (j_d - j_i) / enmu - grad_pe / ne
+        E_z = (j_d - j_i) * inv_enmu - gpe_ne
 
         # ---- heavy-species ghost cells
         u_bohm1 = jnp.sqrt(_E * Te[:, 1][:, None] / mi)  # (B,1) at first interior cell
@@ -204,10 +235,11 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
             ds = jnp.maximum(sR - sL, 1e-8)
             FmL = mL * uL + rL * (a_i * a_i)
             FmR = mR * uR + rR * (a_i * a_i)
-            Fr.append(((sR * mL - sL * mR + sL * sR * (rR - rL)) / ds) * face_f)
-            Fm.append(((sR * FmL - sL * FmR + sL * sR * (mR - mL)) / ds) * face_f)
+            inv_ds = face_f / ds
+            Fr.append((sR * mL - sL * mR + sL * sR * (rR - rL)) * inv_ds)
+            Fm.append((sR * FmL - sL * FmR + sL * sR * (mR - mL)) * inv_ds)
 
-        ddz = lambda F: (F - _roll(F, 1)) / dz
+        ddz = lambda F: (F - _roll(F, 1)) * inv_dz
 
         # ---- sources: closed-form rates (log-poly in ln Te), E-force, wall losses
         d_rho_n = jnp.zeros_like(rho_n)
@@ -226,7 +258,7 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
                 d_mom[z_from - 1] = d_mom[z_from - 1] - dm * u_from
             d_rho[z_to - 1] = d_rho[z_to - 1] + dm
             d_mom[z_to - 1] = d_mom[z_to - 1] + dm * u_from
-            inelastic = inelastic + (dm / mi) * energy
+            inelastic = inelastic + dm * (energy * inv_mi)
         k_ex = jnp.exp(_poly_eval(ex_coeffs, lnTe))
         inelastic = inelastic + (ne * k_ex) * nn * ex_energy
 
@@ -246,27 +278,27 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
         mom_new = [upd(mom_b[z], Fm[z], d_mom[z]) for z in range(Z)]
 
         # ---- electron energy: backward-Euler in Te, in-lane PCR
-        ne_new = rho_new[0] / mi * zq[0]
+        ne_new = rho_new[0] * (inv_mi * zq[0])
         for z in range(1, Z):
-            ne_new = ne_new + zq[z] * rho_new[z] / mi
+            ne_new = ne_new + rho_new[z] * (zq[z] * inv_mi)
         ne_new = jnp.maximum(ne_new, ne_floor)
 
-        Gamma_e = -(j_d - j_i) / _E
+        Gamma_e = (j_i - j_d) * (1.0 / _E)
         G_f = 0.5 * (Gamma_e + _roll(Gamma_e, -1))  # face f = between cells f, f+1
         kap = (10.0 / 9.0) * mu * ne * Te
-        kf = 0.5 * (kap + _roll(kap, -1)) / dz
+        kf = (0.5 * inv_dz) * (kap + _roll(kap, -1))
         Gp = 2.5 * jnp.maximum(G_f, 0.0)
         Gn = 2.5 * jnp.minimum(G_f, 0.0)
         from hallthrusterpem_tpu.models.thruster.solver import wall_energy_loss_rate as _welr
         nu_eps = cfg.electron_wall_losses * _welr(Te, ne, in_channel, c_w, cfg)
-        q_ohm = (j_d - j_i) * E_z / _E
+        q_ohm = (j_d - j_i) * E_z * (1.0 / _E)
 
         # row i uses faces f-=i-1 (roll +1) and f+=i
         Gp_m, Gn_m, kf_m = _roll(Gp, 1), _roll(Gn, 1), _roll(kf, 1)
-        sub = (-Gp_m - kf_m) / dz
-        sup = (Gn - kf) / dz
-        diag = 1.5 * ne_new / dt + (Gp - Gn_m + kf + kf_m) / dz + nu_eps * 1.5 * ne_new
-        rhs = nE / dt + q_ohm - inelastic
+        sub = (-Gp_m - kf_m) * inv_dz
+        sup = (Gn - kf) * inv_dz
+        diag = ne_new * (1.5 * inv_dt + nu_eps * 1.5) + (Gp - Gn_m + kf + kf_m) * inv_dz
+        rhs = nE * inv_dt + q_ohm - inelastic
         # Dirichlet BCs folded into the first/last interior rows
         Te_bc_l = jnp.full_like(dV, cfg.anode_Te)
         rhs = jnp.where(lane == 1, rhs - sub * Te_bc_l, rhs)
@@ -279,7 +311,10 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
         diag = jnp.where(interior, diag, 1.0)
         rhs = jnp.where(interior, rhs, 1.0)
 
-        # row-normalized PCR over lanes (8 levels for 256 lanes)
+        # row-normalized PCR over lanes (8 levels for 256 lanes). A sublane-packed
+        # variant (one roll serving all four coefficient arrays) was measured
+        # slower at tile height 32 — the pack/unpack concats cost more data
+        # movement than the rolls they save; see docs/validation.md.
         inv = 1.0 / diag
         a = sub * inv
         c = sup * inv
@@ -288,9 +323,10 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
         k = 1
         # levels span the coupled interior block (identity rows beyond it)
         n_levels = max(1, int(np.ceil(np.log2(max(NC, 2)))))
+        n_levels = int(os.environ.get("HTPEM_PCR_LEVELS", n_levels))  # timing-ablation knob
         for _ in range(n_levels):
             valid_m = lane >= k
-            valid_p = lane < LANES - k
+            valid_p = lane < LN - k
             am = jnp.where(valid_m, _roll(a, k), 0.0)
             bm = jnp.where(valid_m, _roll(b, k), 1.0)
             cm = jnp.where(valid_m, _roll(c, k), 0.0)
@@ -301,8 +337,7 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
             dp_ = jnp.where(valid_p, _roll(d, -k), 0.0)
             alpha = -a / bm
             beta = -c / bp
-            a = alpha * am
-            c = beta * cp
+            a, c = alpha * am, beta * cp
             b = b + alpha * cm + beta * ap
             d = d + alpha * dm_ + beta * dp_
             k *= 2
@@ -330,10 +365,12 @@ def sanitize_state(cfg: SolverConfig, rho_n, nE, rho_i, mom_i):
     return rho_n, nE, list(rho_i), list(mom_i)
 
 
-def build_step_kernel(cfg: SolverConfig, interpret: bool = False):
+def build_step_kernel(cfg: SolverConfig, interpret: bool = False, tile_b: int = TILE_B):
     """Build ``step(state, consts) -> (state', extras)`` where arrays are
-    (B, LANES) with B a multiple of TILE_B — ONE timestep per kernel launch."""
+    (B, LANES) with B a multiple of ``tile_b`` — ONE timestep per kernel launch."""
     Z = cfg.ncharge
+    LN = lanes_for(cfg)
+    TB = tile_b
     n_state = 2 + 2 * Z  # rho_n, nE, (rho_i, mom_i) x Z
     physics = make_physics(cfg)
 
@@ -358,7 +395,7 @@ def build_step_kernel(cfg: SolverConfig, interpret: bool = False):
         for z in range(Z):
             out_refs[2 + 2 * z][:, :] = rho_new[z]
             out_refs[3 + 2 * z][:, :] = mom_new[z]
-        jd_ref[:, :] = jnp.broadcast_to(j_d, (TILE_B, LANES))
+        jd_ref[:, :] = jnp.broadcast_to(j_d, (TB, LN))
         te_ref[:, :] = Te
         ne_ref[:, :] = ne
         e_ref[:, :] = E_z
@@ -368,16 +405,16 @@ def build_step_kernel(cfg: SolverConfig, interpret: bool = False):
         """state: dict of (B, LANES) arrays; consts: nu_anom/omega_ce (B, LANES),
         scalars (B, 128). Returns (state', extras dict)."""
         B = state["rho_n"].shape[0]
-        grid = (B // TILE_B,)
-        tile = lambda: pl.BlockSpec((TILE_B, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        stile = pl.BlockSpec((TILE_B, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        grid = (B // TB,)
+        tile = lambda: pl.BlockSpec((TB, LN), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        stile = pl.BlockSpec((TB, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
         state_list = [state["rho_n"], state["nE"]]
         for z in range(Z):
             state_list += [state["rho_i"][z], state["mom_i"][z]]
 
         n_out = n_state + 5
-        out_shapes = [jax.ShapeDtypeStruct((B, LANES), jnp.float32) for _ in range(n_out)]
+        out_shapes = [jax.ShapeDtypeStruct((B, LN), jnp.float32) for _ in range(n_out)]
         outs = pl.pallas_call(
             kernel,
             grid=grid,
@@ -409,7 +446,8 @@ def build_step_kernel(cfg: SolverConfig, interpret: bool = False):
 _A_THRUST, _A_ID, _A_ID2, _A_IB0, _A_MDOT, _A_UEXIT, _A_FAILED = range(7)
 
 
-def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool = False):
+def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool = False,
+                           tile_b: int = TILE_B):
     """K timesteps per kernel launch with state AND accumulators resident in VMEM
     (``jax.lax.fori_loop`` inside the kernel). HBM traffic drops from
     O(arrays * steps) to O(arrays * steps / K); accumulation is exact (same
@@ -421,6 +459,8 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
     """
     Z = cfg.ncharge
     NC = cfg.nc
+    LN = lanes_for(cfg)
+    TB = tile_b
     n_state = 2 + 2 * Z
     n_prof = Z + 4
     mi = cfg.mi
@@ -444,32 +484,35 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
         nu_anom = nu_anom_ref[:, :]
         omega = omega_ref[:, :]
         scal = tuple(scal_ref[:, s][:, None] for s in (_P_DV, _P_MDOT, _P_UN, _P_CW, _P_TECATH))
-        lane128 = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, 128), dimension=1)
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (TB, 128), dimension=1)
         slot = lambda s: (lane128 == s).astype(jnp.float32)
 
         def body(k, carry):
-            (rho_n, nE, rho_i, mom_i, prof, sacc) = carry
+            (rho_n, nE, rho_i, mom_i, u_i, prof, sacc) = carry
             (rho_n, nE, rho_i, mom_i), (j_d, Te, ne, E_z, nn) = physics(
-                rho_n, nE, rho_i, mom_i, nu_anom, omega, *scal
+                rho_n, nE, rho_i, mom_i, nu_anom, omega, *scal, u_i_pre=u_i
             )
+            # post-step velocities: shared by the profile/thrust accumulators here
+            # and by the next iteration's physics (single divide per step)
+            u_post = tuple(mom_i[z] / jnp.maximum(rho_i[z], rho_floor) for z in range(Z))
             i = i0 + k
             w = ((i >= cfg.avg_start_step) & (i < cfg.num_steps)).astype(jnp.float32)
 
-            thrust = jnp.zeros((TILE_B,), jnp.float32)
-            I_B0 = jnp.zeros((TILE_B,), jnp.float32)
-            mdot_ion = jnp.zeros((TILE_B,), jnp.float32)
+            thrust = jnp.zeros((TB,), jnp.float32)
+            I_B0 = jnp.zeros((TB,), jnp.float32)
+            mdot_ion = jnp.zeros((TB,), jnp.float32)
             u1 = None
             new_prof = []
             for z in range(Z):
                 r_ex = rho_i[z][:, exit_ix]
                 m_ex = mom_i[z][:, exit_ix]
-                u_ex = m_ex / jnp.maximum(r_ex, rho_floor)
+                u_ex = u_post[z][:, exit_ix]
                 if z == 0:
                     u1 = u_ex
                 thrust += A_ch * (m_ex * u_ex + r_ex * a_i2)
-                I_B0 += A_ch * _E * (z + 1) * r_ex / mi * u_ex
+                I_B0 += (A_ch * _E * (z + 1) / mi) * r_ex * u_ex
                 mdot_ion += A_ch * m_ex
-                new_prof.append(prof[z] + w * mom_i[z] / jnp.maximum(rho_i[z], rho_floor))
+                new_prof.append(prof[z] + w * u_post[z])
             I_d = j_d[:, 0] * A_ch
             for off, val in zip(range(4), (Te, ne, E_z, nn)):
                 new_prof.append(prof[Z + off] + w * val)
@@ -488,7 +531,7 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
                 jnp.maximum(sacc, failed_flag[:, None]),
                 sacc + contrib,
             )
-            return (rho_n, nE, rho_i, mom_i, tuple(new_prof), sacc)
+            return (rho_n, nE, rho_i, mom_i, u_post, tuple(new_prof), sacc)
 
         # one scrub per K-block (identity for healthy states; physics runs lean)
         rn0, nE0, ri0, mi0 = sanitize_state(
@@ -503,10 +546,11 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
             nE0,
             tuple(ri0),
             tuple(mi0),
+            tuple(m / jnp.maximum(r, rho_floor) for m, r in zip(mi0, ri0)),
             tuple(prof_refs[j][:, :] for j in range(n_prof)),
             sacc_ref[:, :],
         )
-        rho_n, nE, rho_i, mom_i, prof, sacc = jax.lax.fori_loop(0, inner_steps, body, carry0)
+        rho_n, nE, rho_i, mom_i, _u, prof, sacc = jax.lax.fori_loop(0, inner_steps, body, carry0)
 
         out_state[0][:, :] = rho_n
         out_state[1][:, :] = nE
@@ -519,9 +563,9 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
 
     def stepK(state: dict, prof: list, sacc, consts: dict, i0):
         B = state["rho_n"].shape[0]
-        grid = (B // TILE_B,)
-        tile = lambda: pl.BlockSpec((TILE_B, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        stile = lambda: pl.BlockSpec((TILE_B, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        grid = (B // TB,)
+        tile = lambda: pl.BlockSpec((TB, LN), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        stile = lambda: pl.BlockSpec((TB, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
         itile = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
         state_list = [state["rho_n"], state["nE"]]
@@ -531,7 +575,7 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
             consts["nu_anom"], consts["omega_ce"], consts["scalars"]
         ]
         out_shapes = (
-            [jax.ShapeDtypeStruct((B, LANES), jnp.float32) for _ in range(n_state + n_prof)]
+            [jax.ShapeDtypeStruct((B, LN), jnp.float32) for _ in range(n_state + n_prof)]
             + [jax.ShapeDtypeStruct((B, 128), jnp.float32)]
         )
         # alias state/accumulator inputs to outputs: true in-place update, no copies
@@ -561,11 +605,12 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
     return stepK
 
 
-@partial(jax.jit, static_argnames=("cfg", "inner_steps", "n_calls", "interpret"))
+@partial(jax.jit, static_argnames=("cfg", "inner_steps", "n_calls", "interpret", "tile_b"))
 def _pallas_multi_segment(params, consts, state, prof, sacc, i0, cfg: SolverConfig,
-                          inner_steps: int, n_calls: int, interpret: bool = False):
+                          inner_steps: int, n_calls: int, interpret: bool = False,
+                          tile_b: int = TILE_B):
     """``n_calls`` sequential K-step kernel launches under one jit (outer scan)."""
-    stepK = build_multistep_kernel(cfg, inner_steps, interpret=interpret)
+    stepK = build_multistep_kernel(cfg, inner_steps, interpret=interpret, tile_b=tile_b)
 
     def body(carry, _):
         state, prof, sacc, i0 = carry
@@ -589,7 +634,8 @@ def simulate_batch_pallas_multi(
     """:func:`simulate_batch_pallas` with the K-step VMEM-resident kernel."""
     params = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
     B0 = params["V_d"].shape[0]
-    pad = (-B0) % TILE_B
+    tb = tile_b_for(B0)
+    pad = (-B0) % tb
     if pad:
         params = {k: jnp.concatenate([v, jnp.repeat(v[-1:], pad, axis=0)]) for k, v in params.items()}
     B = params["V_d"].shape[0]
@@ -598,7 +644,7 @@ def simulate_batch_pallas_multi(
 
     consts = _pack_consts(params, base_B, cfg)
     state, _accum0, _i, _f = _pallas_init(params, base_B, cfg)
-    prof = [jnp.zeros((B, LANES), jnp.float32) for _ in range(n_prof)]
+    prof = [jnp.zeros((B, lanes_for(cfg)), jnp.float32) for _ in range(n_prof)]
     sacc = jnp.zeros((B, 128), jnp.float32)
     i0 = jnp.zeros((), jnp.int32)
 
@@ -607,7 +653,7 @@ def simulate_batch_pallas_multi(
     while done < total_calls:
         n_calls = min(calls_per_dispatch, total_calls - done)
         state, prof, sacc, i0 = _pallas_multi_segment(
-            params, consts, state, prof, sacc, i0, cfg, inner_steps, n_calls, interpret
+            params, consts, state, prof, sacc, i0, cfg, inner_steps, n_calls, interpret, tb
         )
         done += n_calls
 
@@ -646,7 +692,7 @@ def _pack_consts(params: dict, base_B, cfg: SolverConfig):
     alpha = jax.vmap(lambda p: anomalous_profile(p, z, cfg))(p32)
     nu_anom = alpha * omega
 
-    pad = LANES - cfg.nc
+    pad = lanes_for(cfg) - cfg.nc
     padp = lambda x: jnp.pad(x, ((0, 0), (0, pad)))
     mdot_in = params["mdot_a"] + background_neutral_ingestion_flux(params["P_b"], params["f_n"], cfg)
 
@@ -667,7 +713,7 @@ def _initial_state(params: dict, cfg: SolverConfig) -> dict:
     z = jnp.asarray(cfg.cell_centers(), jnp.float32)
     z_ch = cfg.geometry.channel_length
     L = cfg.domain[1] - cfg.domain[0]
-    pad = LANES - cfg.nc
+    pad = lanes_for(cfg) - cfg.nc
     padp = lambda x: jnp.pad(x, ((0, 0), (0, pad)))
 
     from hallthrusterpem_tpu.models.thruster.config import background_neutral_ingestion_flux
@@ -701,14 +747,15 @@ def _initial_state(params: dict, cfg: SolverConfig) -> dict:
     }
 
 
-def make_batch_step(cfg: SolverConfig, consts: dict, interpret: bool = False):
+def make_batch_step(cfg: SolverConfig, consts: dict, interpret: bool = False,
+                    tile_b: int = TILE_B):
     """One full timestep + accumulation over a (B, LANES) batched carry."""
     Z = cfg.ncharge
     NC = cfg.nc
     mi = cfg.mi
     A_ch = cfg.geometry.channel_area
     a_i2 = 1.380649e-23 * cfg.ion_temp_K / mi
-    step = build_step_kernel(cfg, interpret=interpret)
+    step = build_step_kernel(cfg, interpret=interpret, tile_b=tile_b)
     exit_ix = NC - 2
     rho_floor = 1e10 * mi
 
@@ -769,10 +816,10 @@ def _pallas_init(params: dict, base_B, cfg: SolverConfig):
     return (state0, accum0, jnp.zeros((), jnp.int32), jnp.zeros((B,), bool))
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_steps", "interpret"))
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "interpret", "tile_b"))
 def _pallas_segment(params: dict, consts: dict, carry, cfg: SolverConfig, n_steps: int,
-                    interpret: bool = False):
-    body = make_batch_step(cfg, consts, interpret=interpret)
+                    interpret: bool = False, tile_b: int = TILE_B):
+    body = make_batch_step(cfg, consts, interpret=interpret, tile_b=tile_b)
     return jax.lax.scan(body, carry, None, length=n_steps)[0]
 
 
@@ -833,7 +880,8 @@ def simulate_batch_pallas(
     """
     params = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
     B0 = params["V_d"].shape[0]
-    pad = (-B0) % TILE_B
+    tb = tile_b_for(B0)
+    pad = (-B0) % tb
     if pad:
         params = {k: jnp.concatenate([v, jnp.repeat(v[-1:], pad, axis=0)]) for k, v in params.items()}
 
@@ -841,9 +889,9 @@ def simulate_batch_pallas(
     carry = _pallas_init(params, base_B, cfg)
     if chunk_steps and cfg.num_steps > chunk_steps:
         for _ in range(-(-cfg.num_steps // chunk_steps)):
-            carry = _pallas_segment(params, consts, carry, cfg, chunk_steps, interpret)
+            carry = _pallas_segment(params, consts, carry, cfg, chunk_steps, interpret, tb)
     else:
-        carry = _pallas_segment(params, consts, carry, cfg, cfg.num_steps, interpret)
+        carry = _pallas_segment(params, consts, carry, cfg, cfg.num_steps, interpret, tb)
     out = _pallas_finalize(params, carry, consts, base_B, cfg)
     if pad:
         out = {k: v[:B0] for k, v in out.items()}

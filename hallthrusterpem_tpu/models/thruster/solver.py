@@ -85,13 +85,15 @@ def wall_energy_loss_rate(Te, ne, in_channel, c_w, cfg: SolverConfig, xp=jnp):
       staying gentle at low Te.
     """
     if cfg.wall_loss_type == "sheath":
-        gamma = xp.minimum(cfg.see_gamma_max, 1.4 * (Te / cfg.see_crossover_eV) ** 0.576)
+        gamma = xp.minimum(cfg.see_gamma_max, 1.4 * (Te * (1.0 / cfg.see_crossover_eV)) ** 0.576)
         one_m_g = 1.0 - gamma
-        phi_w = xp.maximum(Te * xp.log(one_m_g * float(np.sqrt(cfg.mi / (2 * np.pi * _ME)))), 0.0)
-        u_bohm = xp.sqrt(_E * Te / cfg.mi)
-        nu_iw = 0.6 * u_bohm / cfg.geometry.channel_gap  # Bohm ion wall flux / n
-        nu_ew = nu_iw / one_m_g
-        return cfg.wall_energy_scale * c_w * nu_ew * (2.0 * Te + phi_w) / (1.5 * Te) * in_channel
+        # phi_w/Te = max(ln((1-gamma) sqrt(mi/2 pi me)), 0): the Te factor cancels
+        # against the 1/(1.5 Te) in nu_eps = flux*(2Te+phi_w)/(1.5 n Te), so the
+        # whole expression needs a single divide (by 1-gamma)
+        phi_w_over_te = xp.maximum(xp.log(one_m_g * float(np.sqrt(cfg.mi / (2 * np.pi * _ME)))), 0.0)
+        coef = float(cfg.wall_energy_scale * 0.6 * np.sqrt(_E / cfg.mi)
+                     / cfg.geometry.channel_gap / 1.5)  # Bohm wall flux / (n 1.5 sqrt(Te))
+        return (coef * c_w) * xp.sqrt(Te) / one_m_g * (2.0 + phi_w_over_te) * in_channel
     return cfg.wall_energy_scale * c_w * 1e7 * xp.exp(-20.0 / Te) * in_channel
 
 
