@@ -68,3 +68,34 @@ def test_multistep_kernel_matches_lax():
         assert rel < 0.01, (key, rel)
     assert got["thrust"].shape == (B,)
     assert not np.isnan(got["thrust"]).any()
+
+
+def test_large_tile_padding_consistency():
+    """tile_b_for(B>16) pads the batch to 32 sublanes — padded rows must be
+    dropped and results must match a small-tile run of the same samples."""
+    from hallthrusterpem_tpu.models.thruster.pallas_step import tile_b_for
+
+    assert tile_b_for(8) == 8
+    assert tile_b_for(16) == 8
+    assert tile_b_for(17) == 32
+    assert tile_b_for(1024) == 32
+
+    B = 17  # forces tile 32 with 15 padded rows
+    nsteps = 800
+    cfg = SolverConfig(num_cells=60, ncharge=1, dt=8e-9, duration=nsteps * 8e-9,
+                       average_start_time=nsteps // 2 * 8e-9)
+    z = cfg.cell_centers()
+    s = np.where(z < 0.025, 0.011, 0.018)
+    base_B = jnp.asarray(0.016 * np.exp(-0.5 * ((z - 0.025) / s) ** 2), jnp.float32)
+    vd = np.linspace(290, 310, B).astype(np.float32)
+    params = make_params({"V_d": vd, "V_cc": 30.0, "mdot_a": 5e-6, "P_b": 1e-5})
+
+    big = simulate_batch_pallas_multi(params, base_B, cfg, inner_steps=25,
+                                      calls_per_dispatch=8, interpret=True)
+    small = {k: np.asarray(v)[:8] for k, v in simulate_batch_pallas_multi(
+        {k: v[:8] for k, v in params.items()}, base_B, cfg, inner_steps=25,
+        calls_per_dispatch=8, interpret=True).items()}
+    assert big["thrust"].shape == (B,)
+    np.testing.assert_allclose(np.asarray(big["thrust"])[:8], small["thrust"], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(big["discharge_current"])[:8],
+                               small["discharge_current"], rtol=1e-5)
