@@ -533,13 +533,26 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
             )
             return (rho_n, nE, rho_i, mom_i, u_post, tuple(new_prof), sacc)
 
-        # one scrub per K-block (identity for healthy states; physics runs lean)
+        # one scrub per K-block (identity for healthy states; physics runs lean).
+        # A blow-up landing on the LAST step of the previous block would be
+        # scrubbed here before physics ever sees it, so record a was-nonfinite
+        # flag from the raw state and OR it into _A_FAILED (solver.py's
+        # all-state isfinite semantics; see solver.py:194-210).
+        raw_state = [state_refs[j][:, :] for j in range(n_state)]
+        bad = jnp.zeros((TB,), jnp.float32)
+        for x in raw_state:
+            bad = jnp.maximum(bad, 1.0 - jnp.min(jnp.isfinite(x).astype(jnp.float32), axis=1))
+        sacc0 = jnp.where(
+            lane128 == _A_FAILED,
+            jnp.maximum(sacc_ref[:, :], bad[:, None]),
+            sacc_ref[:, :],
+        )
         rn0, nE0, ri0, mi0 = sanitize_state(
             cfg,
-            state_refs[0][:, :],
-            state_refs[1][:, :],
-            [state_refs[2 + 2 * z][:, :] for z in range(Z)],
-            [state_refs[3 + 2 * z][:, :] for z in range(Z)],
+            raw_state[0],
+            raw_state[1],
+            [raw_state[2 + 2 * z] for z in range(Z)],
+            [raw_state[3 + 2 * z] for z in range(Z)],
         )
         carry0 = (
             rn0,
@@ -548,7 +561,7 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
             tuple(mi0),
             tuple(m / jnp.maximum(r, rho_floor) for m, r in zip(mi0, ri0)),
             tuple(prof_refs[j][:, :] for j in range(n_prof)),
-            sacc_ref[:, :],
+            sacc0,
         )
         rho_n, nE, rho_i, mom_i, _u, prof, sacc = jax.lax.fori_loop(0, inner_steps, body, carry0)
 
@@ -778,6 +791,13 @@ def make_batch_step(cfg: SolverConfig, consts: dict, interpret: bool = False,
             mdot_ion += A_ch * m
         I_d = ex["j_d"] * A_ch
         failed = failed | ~jnp.isfinite(I_d)
+        # the in-kernel sanitize scrubs NaN/Inf at the NEXT step's entry before
+        # j_d is computed, so a blow-up would otherwise never be observed here —
+        # check the raw post-step state too (solver.py all-state semantics)
+        state_ok = jnp.ones_like(failed)
+        for arr in [state["rho_n"], state["nE"], *state["rho_i"], *state["mom_i"]]:
+            state_ok = state_ok & jnp.all(jnp.isfinite(arr), axis=1)
+        failed = failed | ~state_ok
 
         w = ((i >= cfg.avg_start_step) & (i < cfg.num_steps)).astype(jnp.float32)
         ui_prof = jnp.stack(

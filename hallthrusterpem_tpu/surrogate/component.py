@@ -215,6 +215,14 @@ class ComponentSurrogate:
                     warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN columns -> repaired below
                     med = np.nanmedian(np.where(np.isfinite(vals), vals, np.nan), axis=0)
                 med = np.where(np.isfinite(med), med, 0.0)
+                # remember which cached rows are imputed so downstream consumers
+                # (the fidelity-ladder look-ahead) can exclude them from gap math
+                repaired = getattr(self, "_repaired_keys", None)
+                if repaired is None:
+                    repaired = self._repaired_keys = {}
+                rep_set = repaired.setdefault(alpha, set())
+                for i in np.nonzero(bad.any(axis=1))[0]:
+                    rep_set.add(keys[missing[i]])
                 vals = np.where(bad, np.broadcast_to(med, vals.shape), vals)
             for i, vi in zip(missing, vals):
                 cache[keys[i]] = vi
@@ -306,6 +314,7 @@ class ComponentSurrogate:
         # inputs; the evals are cached under the new alpha and reused verbatim
         # when its (alpha, beta) ladder activates, so nothing is wasted.
         active_alphas = {split_index(k, self.n_alpha)[0] for k in self.active}
+        probe_fail = 0.0
         if self.n_alpha and alpha not in active_alphas:
             src_alpha = max(active_alphas, key=lambda a: len(self.eval_cache.get(a, {})))
             src_cache = self.eval_cache.get(src_alpha, {})
@@ -313,14 +322,22 @@ class ComponentSurrogate:
                 keys = sorted(src_cache, key=hash)[:8]  # deterministic, spread
                 pts_gap = np.asarray(keys, dtype=np.float64)
                 vals_new, n2 = self.evaluate_points(alpha, pts_gap)
-                vals_ref = np.stack([src_cache[k] for k in keys], axis=0)
-                if out_cols is not None:
-                    vals_new, vals_ref = vals_new[:, out_cols], vals_ref[:, out_cols]
-                err = max(err, _bounded_rel(vals_new, vals_ref))
                 n_new += n2
+                # probes whose new-alpha evals failed got median-imputed inside
+                # evaluate_points (garbage vs the reference cache) — measure the
+                # gap over clean probes only, and penalize by the failure rate
+                rep = getattr(self, "_repaired_keys", {}).get(alpha, set())
+                ok = [j for j, k in enumerate(keys) if k not in rep]
+                probe_fail = 1.0 - len(ok) / len(keys)
+                if ok:
+                    vals_new = vals_new[ok]
+                    vals_ref = np.stack([src_cache[keys[j]] for j in ok], axis=0)
+                    if out_cols is not None:
+                        vals_new, vals_ref = vals_new[:, out_cols], vals_ref[:, out_cols]
+                    err = max(err, _bounded_rel(vals_new, vals_ref))
 
         # candidates whose model evals mostly failed are de-prioritized outright
-        err *= max(0.0, 1.0 - 2.0 * self.nan_frac.get(kappa, 0.0))
+        err *= max(0.0, 1.0 - 2.0 * max(self.nan_frac.get(kappa, 0.0), probe_fail))
         cost = max(n_new, 1) * self.component.get_cost(alpha)
         _ = time.perf_counter() - t0
         return err, n_new, cost

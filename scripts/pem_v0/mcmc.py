@@ -120,13 +120,19 @@ def main(argv=None):
                 batch[v.name] = np.full(W * n_ops, float(nom))
         pred = system.predict(batch, use_model=args.use_model, qoi_ind=list(obs))
         ll = np.zeros(W)
+        bad = np.zeros(W, dtype=bool)
         for q in obs:
             p = np.asarray(pred[q], dtype=float).reshape(W, n_ops)
             mask = np.isfinite(obs[q])
             r = (p - obs[q])[..., mask] / sig[q][mask]
+            # a theta whose prediction fails (NaN) for ANY observed condition is
+            # rejected outright — nansum would silently zero the misfit and bias
+            # the posterior toward solver-failure regions (reference uses plain
+            # sum so NaN propagates: /root/reference/scripts/pem_v0/mcmc.py:95-104)
+            bad |= ~np.isfinite(r).all(axis=-1)
             w = args.id_penalty if q == "I_d" else 1.0
-            ll += -0.5 * w * np.nansum(r**2, axis=-1)
-        ll = np.where(np.isfinite(ll), ll, -1e30)
+            ll += -0.5 * w * np.sum(np.where(np.isfinite(r), r, 0.0) ** 2, axis=-1)
+        ll = np.where(bad | ~np.isfinite(ll), -1e30, ll)
         return ll
 
     def log_prior(theta: np.ndarray) -> np.ndarray:
