@@ -13,6 +13,8 @@ is self-contained (pandas) and emits plain ``DataEntry`` records plus batch arra
 ready for jitted likelihoods.
 """
 
+from pathlib import Path as _Path
+
 from hallthrusterpem_tpu.data.loader import (
     DataEntry,
     DataField,
@@ -31,7 +33,34 @@ from hallthrusterpem_tpu.data.loader import (
     pem_to_xarray,
 )
 
+#: bundled SPT-100 experimental datasets (literature reconstructions; see
+#: data/spt100/README.md for provenance). The reference fetches the originals
+#: from the external pem_data repo (reference ``data.py:1-2``).
+SPT100_DATA_DIR = _Path(__file__).parent / "spt100"
+
+
+def spt100_datasets() -> list:
+    """Paths of all bundled SPT-100 experimental CSVs."""
+    return sorted(SPT100_DATA_DIR.glob("*.csv"))
+
+
+def spt100_data(qois: tuple = ()) -> list[DataEntry]:
+    """Load the bundled SPT-100 experimental data as DataEntry records.
+
+    Legacy-API parity with the reference scripts' ``hallmd.data.loader.spt100_data``
+    (reference ``scripts/pem_v0/mcmc.py:14-18``, ``monte_carlo.py:19-23``).
+    ``qois``: optionally keep only entries containing at least one of these
+    canonical QoI names (e.g. ``("thrust", "ion velocity")``).
+    """
+    entries = load_ht_datasets(spt100_datasets())
+    if qois:
+        entries = [e for e in entries if any(q in e.data for q in qois)]
+    return entries
+
 __all__ = [
+    "SPT100_DATA_DIR",
+    "spt100_data",
+    "spt100_datasets",
     "DataEntry",
     "DataField",
     "DataInstance",

@@ -128,3 +128,37 @@ def test_data_to_arrays_and_pem_bridge(tmp_path):
     assert len(pem_entries) == 2
     assert "ion velocity" in pem_entries[0].data
     assert pem_entries[0].data["ion current density"].val.shape == (91,)
+
+
+def test_bundled_spt100_data():
+    """The bundled SPT-100 literature datasets load through the standard
+    conventions and cover all five QoIs (reference data spec data.py:1-99;
+    provenance: hallthrusterpem_tpu/data/spt100/README.md)."""
+    from hallthrusterpem_tpu.data import spt100_data
+
+    entries = spt100_data()
+    assert len(entries) >= 20
+    qois = set()
+    for e in entries:
+        qois |= set(e.data)
+        assert 150 <= e.operating_condition["discharge voltage"] <= 450
+        assert 2e-6 <= e.operating_condition["anode mass flow rate"] <= 7e-6
+    assert qois == {"thrust", "discharge current", "cathode coupling voltage",
+                    "ion velocity", "ion current density"}
+
+    # nominal-point anchors: 300 V / 5.16 mg/s thrust ~ 80 mN, I_d ~ 4.5 A
+    ops, T, _ = data_to_arrays(entries, "thrust")
+    nominal = (np.abs(ops["discharge voltage"] - 300) < 1) & \
+              (np.abs(ops["anode mass flow rate"] - 5.16e-6) < 1e-8)
+    assert np.all((T[nominal] > 0.070) & (T[nominal] < 0.095))  # N
+
+    # field data carry coordinates and 1-sigma stds
+    uion = [e for e in entries if "ion velocity" in e.data]
+    assert len(uion) == 3
+    f = uion[0].data["ion velocity"]
+    assert "z" in f.coords and f.val.shape == f.coords["z"].shape
+    assert f.std is not None and np.all(f.std > 0)
+
+    jion = [e for e in entries if "ion current density" in e.data][0].data["ion current density"]
+    assert "theta" in jion.coords and "r" in jion.coords
+    assert float(jion.coords["theta"].max()) <= np.pi / 2 + 1e-9  # converted to rad
