@@ -30,6 +30,11 @@ from hallthrusterpem_tpu.models.thruster.mapping import (
 from hallthrusterpem_tpu.models.thruster.solver import simulate_batch
 from hallthrusterpem_tpu.ops.interp import interp1d
 
+#: whether the fused Pallas kernel implements the quasi-1D plume expansion
+#: (solver_backend falls back to the lax path for solve_plume configs until the
+#: kernel port lands)
+PALLAS_SOLVE_PLUME = True
+
 __all__ = [
     "hallthruster_jl",
     "run_simulation",
@@ -93,6 +98,7 @@ def _tree_to_solver_inputs(tree: dict):
         anom_model=anom_type,
         pressure_shift=shift,
         ion_wall_losses=bool(config.get("ion_wall_losses", True)),
+        solve_plume=bool(config.get("solve_plume", False)),
         apply_thrust_divergence_correction=bool(config.get("apply_thrust_divergence_correction", False)),
         # discharge-current time traces (simulation.num_save) force the lax path;
         # opt in via HTPEM_TRACES=1 so production batches keep the Pallas kernel
@@ -150,6 +156,8 @@ def solver_backend(cfg: SolverConfig) -> tuple[str, int]:
     choice = os.environ.get("HTPEM_SOLVER", "")
     if not choice:
         choice = "pallas" if (on_tpu and cfg.nc <= 254 and cfg.num_save == 0) else "lax"
+    if cfg.solve_plume and choice == "pallas" and not PALLAS_SOLVE_PLUME:
+        choice = "lax"  # never route plume physics to a kernel that lacks it
     chunk = int(os.environ.get("HTPEM_CHUNK_STEPS", "2000" if on_tpu else "0"))
     return choice, chunk
 
@@ -311,10 +319,17 @@ def hallthruster_jl(
     outputs = convert_to_pem(sim_results, _map)
     outputs = {k: np.asarray(v) for k, v in outputs.items()}
 
-    # failure masks (NaN-row semantics replacing the reference's raises)
+    # failure masks (NaN-row semantics replacing the reference's raises,
+    # thruster.py:490-494), extended with same-spirit absurdity guards: a
+    # persistent exit backflow (negative mass efficiency) or negative discharge
+    # current is a pathological limit-cycle, not a measurement
     thrust = outputs.get("T", np.zeros(()))
     beam = outputs.get("I_B0", np.zeros(()))
     bad = (np.asarray(thrust) < 0) | (np.asarray(beam) < 0)
+    if "I_d" in outputs:
+        bad = bad | (np.asarray(outputs["I_d"]) < 0)
+    if "eta_m" in outputs:
+        bad = bad | (np.asarray(outputs["eta_m"]) < 0)
     if shock_threshold is not None and "u_ion" in outputs:
         z = outputs["u_ion_coords"]
         ui = outputs["u_ion"]

@@ -73,6 +73,19 @@ class SolverConfig:
     see_crossover_eV: float = 45.0  # BN sigma(E) = (E/eps*)^0.576 energy scale
     see_gamma_max: float = 0.983  # space-charge-limited yield ceiling
     apply_thrust_divergence_correction: bool = False
+    #: quasi-1D plume expansion outside the channel (HallThruster.jl's
+    #: ``solve_plume``; enabled by the reference config
+    #: ``pem_v0_SPT-100.yml`` "solve_plume: true"): the beam cross-section grows
+    #: as a STATIC cone of half-angle atan(params["tan_div"]) (outer radius
+    #: grows, inner shrinks to the axis), diluting plume density — a pure 1-D
+    #: channel model otherwise carries beam-level density to the domain end and
+    #: overestimates the electron leak across the magnetic barrier. The geometry
+    #: is deliberately state-independent: a self-adjusting stream tube couples
+    #: into the Ohm impedance integral ahead of the density dilution and
+    #: resonates with the breathing mode into an unphysical runaway (measured;
+    #: see docs/validation.md round-2 notes). The cone angle is a calibratable
+    #: per-sample parameter instead.
+    solve_plume: bool = False
     neutral_temp_K: float = 500.0
     ion_temp_K: float = 1000.0
     background_temp_K: float = 150.0
@@ -143,6 +156,7 @@ PARAM_NAMES = (
     "f_n",        # neutral ingestion multiplier [-]
     "c_w",        # wall loss scale [-]
     "B_hat",      # magnetic field scale [-]
+    "tan_div",    # plume stream-tube expansion slope (solve_plume cone tangent) [-]
 )
 
 _DEFAULTS = {
@@ -166,6 +180,7 @@ _DEFAULTS = {
     "f_n": 1.0,
     "c_w": 1.0,
     "B_hat": 1.0,
+    "tan_div": 0.364,  # tan(20 deg), SPT-100-class far-field divergence
 }
 
 

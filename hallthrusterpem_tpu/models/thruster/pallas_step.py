@@ -59,7 +59,7 @@ def tile_b_for(batch: int) -> int:
     return 32 if batch > 16 else TILE_B
 
 # per-sample scalar slots in the packed params block
-_P_DV, _P_MDOT, _P_UN, _P_CW, _P_TECATH = range(5)
+_P_DV, _P_MDOT, _P_UN, _P_CW, _P_TECATH, _P_TANDIV = range(6)
 _N_SCALARS = 8  # padded
 
 
@@ -114,7 +114,7 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
     inv_dt = 1.0 / dt
 
     def physics(rho_n, nE, rho_i, mom_i, nu_anom, omega_ce, dV, mdot_in, u_n, c_w, te_cath,
-                u_i_pre=None):
+                tan_div, u_i_pre=None):
         lane = _lane_iota(rho_n.shape)
         interior = (lane >= 1) & (lane <= NC - 2)
         in_domain = lane <= NC - 1
@@ -156,7 +156,29 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
         # mu = (e/me)/nu / (1+(w/nu)^2) == (e/me) nu/(nu^2+w^2): one divide
         mu = (_E / _ME) * nu_e / (nu_e * nu_e + omega_ce * omega_ce)
 
-        # ---- Ohm's law (direct integration; lane reductions)
+        # ---- quasi-1D plume expansion (mirrors solver.py's solve_plume block):
+        # STATIC per-sample expansion cone of slope tan_div — time-independent
+        # stream-tube area ratio AR(z) from the lane coordinate, no extra state
+        if cfg.solve_plume:
+            tand = jnp.clip(tan_div, 0.0, 2.0)
+            drz = tand * jnp.maximum(z_cell - cfg.geometry.channel_length, 0.0)
+            r_o = cfg.geometry.outer_radius + drz
+            r_i_pl = jnp.maximum(cfg.geometry.inner_radius - drz, 0.0)
+            AR = (r_o * r_o - r_i_pl * r_i_pl) * (
+                1.0 / (cfg.geometry.outer_radius**2 - cfg.geometry.inner_radius**2)
+            )
+            inv_AR = 1.0 / AR
+            # face area ratios (face i sits between cells i, i+1) and the
+            # geometric log-derivative for the pressure-area momentum source
+            AR_f = 0.5 * (AR + _roll(AR, -1))
+            ARf_m = _roll(AR_f, 1)
+            dlnA = (AR_f - ARf_m) * inv_dz * inv_AR * interior_f
+        else:
+            AR = None
+            inv_AR = 1.0
+
+        # ---- Ohm's law (direct integration; lane reductions). j_d is the total
+        # current / A_ch; the local circuit current density is j_d / AR(z).
         j_i = zq[0] * ni[0] * u_i[0]
         for z in range(1, Z):
             j_i = j_i + zq[z] * ni[z] * u_i[z]
@@ -169,7 +191,7 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
         inv_enmu = 1.0 / (_E * ne * mu)
         gpe_ne = grad_pe * inv_ne
         num_igd = (j_i * inv_enmu + gpe_ne) * interior_f
-        den_igd = inv_enmu * interior_f
+        den_igd = (inv_AR * inv_enmu * interior_f) if cfg.solve_plume else (inv_enmu * interior_f)
         num_int = jnp.sum(num_igd, axis=1, keepdims=True) * dz
         den_int = jnp.sum(den_igd, axis=1, keepdims=True) * dz
         j_d = (dV + num_int) / den_int
@@ -182,7 +204,8 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
             j_e_req = jnp.maximum(j_d - j_i1, 1e-6 * j_e_th)
             phi_s = jnp.clip(Te1 * jnp.log(j_e_th / j_e_req), 0.0, 0.5 * jnp.abs(dV))
             j_d = (dV - phi_s + num_int) / den_int
-        E_z = (j_d - j_i) * inv_enmu - gpe_ne
+        j_d_loc = j_d * inv_AR if cfg.solve_plume else j_d  # local circuit current density
+        E_z = (j_d_loc - j_i) * inv_enmu - gpe_ne
 
         # ---- heavy-species ghost cells
         u_bohm1 = jnp.sqrt(_E * Te[:, 1][:, None] / mi)  # (B,1) at first interior cell
@@ -239,7 +262,11 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
             Fr.append((sR * mL - sL * mR + sL * sR * (rR - rL)) * inv_ds)
             Fm.append((sR * FmL - sL * FmR + sL * sR * (mR - mL)) * inv_ds)
 
-        ddz = lambda F: (F - _roll(F, 1)) * inv_dz
+        if cfg.solve_plume:
+            # quasi-1D divergence: (1/A) d(A F)/dz
+            ddz = lambda F: ((F * AR_f) - _roll(F * AR_f, 1)) * inv_dz * inv_AR
+        else:
+            ddz = lambda F: (F - _roll(F, 1)) * inv_dz
 
         # ---- sources: closed-form rates (log-poly in ln Te), E-force, wall losses
         d_rho_n = jnp.zeros_like(rho_n)
@@ -264,6 +291,11 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
 
         for z in range(Z):
             d_mom[z] = d_mom[z] + zq[z] * _E * ni[z] * E_z
+        if cfg.solve_plume:
+            # geometric pressure source: static pressure pushes on the expanding
+            # stream tube (+ p dlnA/dz; mirrors solver.py)
+            for z in range(Z):
+                d_mom[z] = d_mom[z] + rho_i[z] * (a_i * a_i) * dlnA
         if cfg.ion_wall_losses:
             sqrt_te = jnp.sqrt(_E * Te / mi)
             for z in range(Z):
@@ -283,7 +315,7 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
             ne_new = ne_new + rho_new[z] * (zq[z] * inv_mi)
         ne_new = jnp.maximum(ne_new, ne_floor)
 
-        Gamma_e = (j_i - j_d) * (1.0 / _E)
+        Gamma_e = (j_i - j_d_loc) * (1.0 / _E)
         G_f = 0.5 * (Gamma_e + _roll(Gamma_e, -1))  # face f = between cells f, f+1
         kap = (10.0 / 9.0) * mu * ne * Te
         kf = (0.5 * inv_dz) * (kap + _roll(kap, -1))
@@ -291,13 +323,23 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
         Gn = 2.5 * jnp.minimum(G_f, 0.0)
         from hallthrusterpem_tpu.models.thruster.solver import wall_energy_loss_rate as _welr
         nu_eps = cfg.electron_wall_losses * _welr(Te, ne, in_channel, c_w, cfg)
-        q_ohm = (j_d - j_i) * E_z * (1.0 / _E)
+        q_ohm = (j_d_loc - j_i) * E_z * (1.0 / _E)
 
-        # row i uses faces f-=i-1 (roll +1) and f+=i
+        # row i uses faces f-=i-1 (roll +1) and f+=i; with the plume cone the
+        # energy-flux divergence picks up AR_face / AR_cell weights
         Gp_m, Gn_m, kf_m = _roll(Gp, 1), _roll(Gn, 1), _roll(kf, 1)
-        sub = (-Gp_m - kf_m) * inv_dz
-        sup = (Gn - kf) * inv_dz
-        diag = ne_new * (1.5 * inv_dt + nu_eps * 1.5) + (Gp - Gn_m + kf + kf_m) * inv_dz
+        if cfg.solve_plume:
+            wp = AR_f * inv_AR
+            wm = ARf_m * inv_AR
+            sub = (-Gp_m - kf_m) * wm * inv_dz
+            sup = (Gn - kf) * wp * inv_dz
+            diag = ne_new * (1.5 * inv_dt + nu_eps * 1.5) + (
+                (Gp + kf) * wp + (kf_m - Gn_m) * wm
+            ) * inv_dz
+        else:
+            sub = (-Gp_m - kf_m) * inv_dz
+            sup = (Gn - kf) * inv_dz
+            diag = ne_new * (1.5 * inv_dt + nu_eps * 1.5) + (Gp - Gn_m + kf + kf_m) * inv_dz
         rhs = nE * inv_dt + q_ohm - inelastic
         # Dirichlet BCs folded into the first/last interior rows
         Te_bc_l = jnp.full_like(dV, cfg.anode_Te)
@@ -347,7 +389,22 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
         Te_new = jnp.clip(Te_new, cfg.Te_min, cfg.Te_max)
         nE_new = 1.5 * ne_new * Te_new
 
-        return (rho_n_new, nE_new, tuple(rho_new), tuple(mom_new)), (j_d, Te, ne, E_z, nn)
+        # QoI scale factors at the domain-end exit plane: exit fluxes cross the
+        # expanded area A_ch * AR; thrust additionally projects by cos(divergence)
+        if cfg.solve_plume:
+            ar_ex = AR[:, NC - 2][:, None]
+            qs_f = ar_ex
+            if cfg.apply_thrust_divergence_correction:
+                qs_t = ar_ex * jax.lax.rsqrt(1.0 + tand * tand)
+            else:
+                qs_t = ar_ex
+        else:
+            qs_t = jnp.ones_like(j_d)
+            qs_f = qs_t
+
+        return (rho_n_new, nE_new, tuple(rho_new), tuple(mom_new)), (
+            j_d, Te, ne, E_z, nn, qs_t, qs_f,
+        )
 
     return physics
 
@@ -365,13 +422,22 @@ def sanitize_state(cfg: SolverConfig, rho_n, nE, rho_i, mom_i):
     return rho_n, nE, list(rho_i), list(mom_i)
 
 
+def n_state_for(cfg: SolverConfig) -> int:
+    """Number of per-sample state arrays: rho_n, nE, (rho_i, mom_i) x Z."""
+    return 2 + 2 * cfg.ncharge
+
+
+#: scalar-block slots handed to make_physics, in signature order
+_SCAL_SLOTS = (_P_DV, _P_MDOT, _P_UN, _P_CW, _P_TECATH, _P_TANDIV)
+
+
 def build_step_kernel(cfg: SolverConfig, interpret: bool = False, tile_b: int = TILE_B):
     """Build ``step(state, consts) -> (state', extras)`` where arrays are
     (B, LANES) with B a multiple of ``tile_b`` — ONE timestep per kernel launch."""
     Z = cfg.ncharge
     LN = lanes_for(cfg)
     TB = tile_b
-    n_state = 2 + 2 * Z  # rho_n, nE, (rho_i, mom_i) x Z
+    n_state = n_state_for(cfg)
     physics = make_physics(cfg)
 
     def kernel(*refs):
@@ -384,9 +450,9 @@ def build_step_kernel(cfg: SolverConfig, interpret: bool = False, tile_b: int = 
         nE = state_refs[1][:, :]
         rho_i = tuple(state_refs[2 + 2 * z][:, :] for z in range(Z))
         mom_i = tuple(state_refs[3 + 2 * z][:, :] for z in range(Z))
-        scal = tuple(scal_ref[:, s][:, None] for s in (_P_DV, _P_MDOT, _P_UN, _P_CW, _P_TECATH))
+        scal = tuple(scal_ref[:, s][:, None] for s in _SCAL_SLOTS)
 
-        (rho_n_new, nE_new, rho_new, mom_new), (j_d, Te, ne, E_z, nn) = physics(
+        (rho_n_new, nE_new, rho_new, mom_new), (j_d, Te, ne, E_z, nn, qs_t, qs_f) = physics(
             rho_n, nE, rho_i, mom_i, nu_anom_ref[:, :], omega_ref[:, :], *scal
         )
 
@@ -395,7 +461,9 @@ def build_step_kernel(cfg: SolverConfig, interpret: bool = False, tile_b: int = 
         for z in range(Z):
             out_refs[2 + 2 * z][:, :] = rho_new[z]
             out_refs[3 + 2 * z][:, :] = mom_new[z]
-        jd_ref[:, :] = jnp.broadcast_to(j_d, (TB, LN))
+        # lane 0: j_d; lanes 1/2: the exit-plane QoI scale factors
+        lane = _lane_iota((TB, LN))
+        jd_ref[:, :] = jnp.where(lane == 1, qs_t, jnp.where(lane == 2, qs_f, j_d))
         te_ref[:, :] = Te
         ne_ref[:, :] = ne
         e_ref[:, :] = E_z
@@ -432,6 +500,8 @@ def build_step_kernel(cfg: SolverConfig, interpret: bool = False, tile_b: int = 
         }
         extras = {
             "j_d": outs[n_state][:, 0],
+            "qs_t": outs[n_state][:, 1],
+            "qs_f": outs[n_state][:, 2],
             "Te": outs[n_state + 1],
             "ne": outs[n_state + 2],
             "E": outs[n_state + 3],
@@ -461,7 +531,7 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
     NC = cfg.nc
     LN = lanes_for(cfg)
     TB = tile_b
-    n_state = 2 + 2 * Z
+    n_state = n_state_for(cfg)
     n_prof = Z + 4
     mi = cfg.mi
     A_ch = cfg.geometry.channel_area
@@ -483,13 +553,13 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
         i0 = i0_ref[0, 0]
         nu_anom = nu_anom_ref[:, :]
         omega = omega_ref[:, :]
-        scal = tuple(scal_ref[:, s][:, None] for s in (_P_DV, _P_MDOT, _P_UN, _P_CW, _P_TECATH))
+        scal = tuple(scal_ref[:, s][:, None] for s in _SCAL_SLOTS)
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (TB, 128), dimension=1)
         slot = lambda s: (lane128 == s).astype(jnp.float32)
 
         def body(k, carry):
             (rho_n, nE, rho_i, mom_i, u_i, prof, sacc) = carry
-            (rho_n, nE, rho_i, mom_i), (j_d, Te, ne, E_z, nn) = physics(
+            (rho_n, nE, rho_i, mom_i), (j_d, Te, ne, E_z, nn, qs_t, qs_f) = physics(
                 rho_n, nE, rho_i, mom_i, nu_anom, omega, *scal, u_i_pre=u_i
             )
             # post-step velocities: shared by the profile/thrust accumulators here
@@ -513,6 +583,11 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
                 I_B0 += (A_ch * _E * (z + 1) / mi) * r_ex * u_ex
                 mdot_ion += A_ch * m_ex
                 new_prof.append(prof[z] + w * u_post[z])
+            if cfg.solve_plume:
+                # exit fluxes cross the expanded area (thrust also cos-projected)
+                thrust = thrust * qs_t[:, 0]
+                I_B0 = I_B0 * qs_f[:, 0]
+                mdot_ion = mdot_ion * qs_f[:, 0]
             I_d = j_d[:, 0] * A_ch
             for off, val in zip(range(4), (Te, ne, E_z, nn)):
                 new_prof.append(prof[Z + off] + w * val)
@@ -563,7 +638,9 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
             tuple(prof_refs[j][:, :] for j in range(n_prof)),
             sacc0,
         )
-        rho_n, nE, rho_i, mom_i, _u, prof, sacc = jax.lax.fori_loop(0, inner_steps, body, carry0)
+        rho_n, nE, rho_i, mom_i, _u, prof, sacc = jax.lax.fori_loop(
+            0, inner_steps, body, carry0
+        )
 
         out_state[0][:, :] = rho_n
         out_state[1][:, :] = nE
@@ -715,6 +792,7 @@ def _pack_consts(params: dict, base_B, cfg: SolverConfig):
     scalars = scalars.at[:, _P_UN].set(jnp.maximum(params["u_n"], 10.0))
     scalars = scalars.at[:, _P_CW].set(params["c_w"])
     scalars = scalars.at[:, _P_TECATH].set(params["T_e_cath"])
+    scalars = scalars.at[:, _P_TANDIV].set(params.get("tan_div", jnp.full((B,), 0.364)))
     return {"nu_anom": padp(nu_anom), "omega_ce": padp(omega), "scalars": scalars}
 
 
@@ -789,6 +867,10 @@ def make_batch_step(cfg: SolverConfig, consts: dict, interpret: bool = False,
             thrust += A_ch * (m * u + r * a_i2)
             I_B0 += A_ch * _E * (zi + 1) * r / mi * u
             mdot_ion += A_ch * m
+        if cfg.solve_plume:
+            thrust = thrust * ex["qs_t"]
+            I_B0 = I_B0 * ex["qs_f"]
+            mdot_ion = mdot_ion * ex["qs_f"]
         I_d = ex["j_d"] * A_ch
         failed = failed | ~jnp.isfinite(I_d)
         # the in-kernel sanitize scrubs NaN/Inf at the NEXT step's entry before

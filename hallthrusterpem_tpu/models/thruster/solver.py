@@ -183,6 +183,31 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
 
     state0 = (rho_n0, rho_i0, mom_i0, nE0)
 
+    # ---------------------------------------------------------------- plume geometry
+    # Static quasi-1D expansion cone (see SolverConfig.solve_plume): per-sample,
+    # time-independent stream-tube area ratio AR(z), its face means, the
+    # geometric pressure-source log-derivative, and the thrust projection.
+    if cfg.solve_plume:
+        tand = jnp.clip(p["tan_div"], 0.0, 2.0)
+        drz = tand * jnp.maximum(z - cfg.geometry.channel_length, 0.0)
+        r_o_pl = cfg.geometry.outer_radius + drz
+        r_i_pl = jnp.maximum(cfg.geometry.inner_radius - drz, 0.0)
+        AR = (r_o_pl**2 - r_i_pl**2) / (
+            cfg.geometry.outer_radius**2 - cfg.geometry.inner_radius**2
+        )
+        inv_AR = 1.0 / AR
+        AR_f = 0.5 * (AR[:-1] + AR[1:])
+        dlnA = jnp.concatenate(
+            [jnp.zeros((1,), f), (AR_f[1:] - AR_f[:-1]) / (dz * AR[1:-1]), jnp.zeros((1,), f)]
+        )
+        cos_div = jax.lax.rsqrt(1.0 + tand * tand)
+    else:
+        AR = jnp.ones((NC,), f)
+        inv_AR = AR
+        AR_f = jnp.ones((NC - 1,), f)
+        dlnA = jnp.zeros((NC,), f)
+        cos_div = jnp.ones((), f)
+
     # ---------------------------------------------------------------- step function
     # state sanitization bounds: keep every intermediate finite and in-range so the
     # compiled program is well-defined even for blown-up samples (failed samples
@@ -225,13 +250,16 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
         Omega2 = (omega_ce / nu_e) ** 2
         mu = (_E / (_ME * nu_e)) / (1.0 + Omega2)
 
-        # ---- Ohm's-law potential sweep (direct integration, no linear solve)
+        # ---- Ohm's-law potential sweep (direct integration, no linear solve).
+        # With the static plume cone the conserved quantity is the total current
+        # I_d = A(z) (j_i + j_e): j_d below is I_d / A_ch and the local circuit
+        # current density is j_d / AR(z).
         j_i = _E * jnp.sum(zq[:, None] * ni * u_i, axis=0)
         pe = ne * Te  # eV * m^-3 ; gradient below is in V/m
         grad_pe = jnp.gradient(pe) / dz
         enmu = _E * ne * mu
         num_igd = j_i / enmu + grad_pe / ne
-        den_igd = 1.0 / enmu
+        den_igd = inv_AR / enmu
         # midpoint integration over interior cells
         num_int = jnp.sum(num_igd[1:-1]) * dz
         den_int = jnp.sum(den_igd[1:-1]) * dz
@@ -245,8 +273,9 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
             j_e_req = jnp.maximum(j_d - j_i[1], 1e-6 * j_e_th)
             phi_s = jnp.clip(Te[1] * jnp.log(j_e_th / j_e_req), 0.0, 0.5 * jnp.abs(dV))
             j_d = (dV - phi_s + num_int) / den_int
-        E_z = (j_d - j_i) / enmu - grad_pe / ne
-        u_e = -(j_d - j_i) / (_E * ne)
+        j_d_loc = j_d * inv_AR  # local circuit current density
+        E_z = (j_d_loc - j_i) / enmu - grad_pe / ne
+        u_e = -(j_d_loc - j_i) / (_E * ne)
 
         # ---- heavy-species boundary (ghost) states
         u_bohm = jnp.sqrt(zq * _E * Te[1] / mi)  # (Z,)
@@ -293,9 +322,11 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
         Fr = (sR * FrL - sL * FrR + sL * sR * (rR - rL)) / ds
         Fm = (sR * FmL - sL * FmR + sL * sR * (mR - mL)) / ds
 
-        # ---- conservative update (interior cells) + sources
+        # ---- conservative update (interior cells) + sources; with plume
+        # expansion the divergence is (1/A) d(A F)/dz (fluxes weighted by face
+        # area ratio, update scaled by the cell's)
         def ddz(F):
-            return (F[..., 1:] - F[..., :-1]) / dz
+            return (F[..., 1:] * AR_f[1:] - F[..., :-1] * AR_f[:-1]) / (dz * AR[1:-1])
 
         rho_n_new = rho_n_b.at[1:-1].add(-dt * ddz(Fn))
         rho_i_new = rho_i_b.at[:, 1:-1].add(-dt * ddz(Fr))
@@ -329,6 +360,12 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
         # electric-field acceleration
         d_mom = d_mom + zq[:, None] * _E * ni * E_z  # force density Z e n_i E
 
+        if cfg.solve_plume:
+            # quasi-1D geometric pressure source: only the momentum FLUX dilutes
+            # with area; static pressure pushes on the expanding stream tube,
+            # contributing + p dlnA/dz
+            d_mom = d_mom + rho_i * (a_i * a_i) * dlnA
+
         # ion wall losses inside the channel (lost ions recombine to slow neutrals)
         if cfg.ion_wall_losses:
             u_bohm_z = jnp.sqrt(zq[:, None] * _E * Te[None, :] / mi)
@@ -352,22 +389,27 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
         Te_bc_r = p["T_e_cath"]
 
         # electron particle flux from current continuity (no density floors needed)
-        Gamma_e = -(j_d - j_i) / _E  # n_e u_e at centers
+        Gamma_e = -(j_d_loc - j_i) / _E  # n_e u_e at centers
         G_f = 0.5 * (Gamma_e[:-1] + Gamma_e[1:])  # (NC-1,) faces
         kappa_f = (10.0 / 9.0) * 0.5 * ((mu * ne * Te)[:-1] + (mu * ne * Te)[1:])
         kf = kappa_f / dz
         Gp = (5.0 / 2.0) * jnp.maximum(G_f, 0.0)
         Gn = (5.0 / 2.0) * jnp.minimum(G_f, 0.0)
 
-        # rows for interior cells i=1..NC-2 ; face f- = i-1, f+ = i
+        # rows for interior cells i=1..NC-2 ; face f- = i-1, f+ = i; with the
+        # plume cone the energy-flux divergence is (1/A) d(A q)/dz: face terms
+        # get AR_f / AR_cell weights (identity inside the channel)
         fm = slice(0, NC - 2)
         fp = slice(1, NC - 1)
+        wfm = AR_f[fm] / AR[1:-1]
+        wfp = AR_f[fp] / AR[1:-1]
         nu_eps = cfg.electron_wall_losses * wall_energy_loss_rate(Te, ne, in_channel, p["c_w"], cfg)
         n_c = ne_new[1:-1]
-        sub = (-Gp[fm] - kf[fm]) / dz
-        sup = (Gn[fp] - kf[fp]) / dz
-        diag = 1.5 * n_c / dt + (Gp[fp] - Gn[fm] + kf[fp] + kf[fm]) / dz + nu_eps[1:-1] * 1.5 * n_c
-        q_ohm = (j_d - j_i) * E_z / _E
+        sub = (-Gp[fm] - kf[fm]) * wfm / dz
+        sup = (Gn[fp] - kf[fp]) * wfp / dz
+        diag = (1.5 * n_c / dt + ((Gp[fp] + kf[fp]) * wfp + (kf[fm] - Gn[fm]) * wfm) / dz
+                + nu_eps[1:-1] * 1.5 * n_c)
+        q_ohm = (j_d_loc - j_i) * E_z / _E
         rhs = nE[1:-1] / dt + q_ohm[1:-1] - inelastic[1:-1]
         rhs = rhs.at[0].add(-sub[0] * Te_bc_l)
         rhs = rhs.at[-1].add(-sup[-1] * Te_bc_r)
@@ -378,13 +420,19 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
         Te_new = jnp.clip(Te_new, cfg.Te_min, cfg.Te_max)
         nE_new = 1.5 * ne_new * Te_new
 
-        # ---- instantaneous QoIs & running averages
+        # ---- instantaneous QoIs & running averages (fluxes through the expanded
+        # exit cross-section A_ch * AR at the domain end)
         exit_ix = NC - 2
+        A_ex = A_ch * AR[exit_ix]
         u_exit = mom_i_new[:, exit_ix] / jnp.maximum(rho_i_new[:, exit_ix], rho_floor)
-        thrust = A_ch * jnp.sum(mom_i_new[:, exit_ix] * u_exit + rho_i_new[:, exit_ix] * a_i**2)
+        thrust = A_ex * jnp.sum(mom_i_new[:, exit_ix] * u_exit + rho_i_new[:, exit_ix] * a_i**2)
+        if cfg.apply_thrust_divergence_correction and cfg.solve_plume:
+            # axial projection of the diverging beam (reference config surface
+            # ``apply_thrust_divergence_correction``): cos of the cone half-angle
+            thrust = thrust * cos_div
         I_d = j_d * A_ch
-        I_B0 = A_ch * _E * jnp.sum(zq * rho_i_new[:, exit_ix] / mi * u_exit)
-        mdot_ion = A_ch * jnp.sum(mom_i_new[:, exit_ix])
+        I_B0 = A_ex * _E * jnp.sum(zq * rho_i_new[:, exit_ix] / mi * u_exit)
+        mdot_ion = A_ex * jnp.sum(mom_i_new[:, exit_ix])
 
         # accumulate only inside [avg_start_step, num_steps): the upper gate makes
         # chunked dispatch exact when the chunk count overshoots num_steps
