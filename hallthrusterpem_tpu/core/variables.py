@@ -77,14 +77,20 @@ class Distribution:
             (pct,) = self.params
             if nominal is None:
                 raise ValueError("Relative() distribution requires a nominal value")
-            lo, hi = nominal * (1 - pct / 100.0), nominal * (1 + pct / 100.0)
-            lo, hi = min(lo, hi), max(lo, hi)
-            return jax.random.uniform(key, shape, minval=lo, maxval=hi)
+            # nominal may be a scalar OR a per-sample array (e.g. jittering a
+            # batch of experimental operating conditions in a likelihood)
+            nom = jnp.asarray(nominal)
+            a, b = nom * (1 - pct / 100.0), nom * (1 + pct / 100.0)
+            lo, hi = jnp.minimum(a, b), jnp.maximum(a, b)
+            u = jax.random.uniform(key, shape)
+            return lo + (hi - lo) * u
         if self.kind == "tolerance":
             (tol,) = self.params
             if nominal is None:
                 raise ValueError("Tolerance() distribution requires a nominal value")
-            return jax.random.uniform(key, shape, minval=nominal - tol, maxval=nominal + tol)
+            nom = jnp.asarray(nominal)
+            u = jax.random.uniform(key, shape)
+            return (nom - tol) + 2.0 * tol * u
         raise ValueError(f"Unknown distribution kind {self.kind!r}")
 
     def pdf(self, x, nominal: Optional[float] = None):

@@ -32,6 +32,8 @@ parser.add_argument("--a1", type=float, default=0.00625)
 parser.add_argument("--a2", type=float, default=0.0625)
 parser.add_argument("--c-w", type=float, default=1.0)
 parser.add_argument("--cpu", action="store_true")
+parser.add_argument("--plume", action="store_true", help="solve_plume + divergence correction")
+parser.add_argument("--shift", action="store_true", help="LogisticPressureShift (reference z0=-0.031)")
 parser.add_argument("--npz", type=str, default="", help="save snapshots to this .npz")
 
 
@@ -53,11 +55,14 @@ def main(argv=None):
     cfg = SolverConfig(
         num_cells=args.cells, ncharge=args.ncharge, dt=5e-9,
         duration=args.duration, average_start_time=args.duration / 2,
+        solve_plume=args.plume, apply_thrust_divergence_correction=args.plume,
+        pressure_shift="LogisticPressureShift" if args.shift else "none",
     )
     base_B = jnp.asarray(_load_bfield(device, cfg), jnp.float32)
     p = make_params({
         "V_d": args.vd, "mdot_a": args.mdot, "V_cc": 30.0, "P_b": 1e-5,
         "u_n": args.u_n, "a1": args.a1, "a2": args.a2, "c_w": args.c_w,
+        "shift_z0": -0.03104,
     })
     p = {k: jnp.asarray(v[0] if getattr(v, "ndim", 0) else v, jnp.float32) for k, v in p.items()}
 

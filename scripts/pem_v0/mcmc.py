@@ -27,20 +27,29 @@ from pathlib import Path
 import numpy as np
 
 from hallthrusterpem_tpu.core.system import System
-from hallthrusterpem_tpu.data import load_ht_datasets
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent))
+from dataset_util import field_profiles, load_experiment  # noqa: E402
 from hallthrusterpem_tpu.uq import dram, ess, integrated_autocorr_time, laplace_approximation, run_mle
 
 parser = argparse.ArgumentParser(description=__doc__)
 parser.add_argument("config_file")
 parser.add_argument("--search", action="store_true")
-parser.add_argument("--data", nargs="*", default=None, help="experimental CSV files")
+parser.add_argument("--data", nargs="*", default=None,
+                    help="experimental CSV files, or the keyword 'spt100' for the bundled "
+                         "literature datasets (hallthrusterpem_tpu/data/spt100)")
 parser.add_argument("--niter", type=int, default=10000)
 parser.add_argument("--walkers", type=int, default=8)
 parser.add_argument("--use-model", default=None, help="'best' for true model; default surrogate")
 parser.add_argument("--noise-std", type=float, default=0.02, help="relative data noise (1-sigma)")
+parser.add_argument("--noise-samples", type=int, default=1,
+                    help="M operating-condition/nuisance noise samples marginalized per "
+                         "likelihood eval via logsumexp (reference mcmc.py:103-104); 1 = off")
 parser.add_argument("--file", default="dram_chain.h5")
 parser.add_argument("--mle", action="store_true", help="run MLE optimization first")
-parser.add_argument("--qois", nargs="*", default=["V_cc", "T", "I_d"])
+parser.add_argument("--qois", nargs="*", default=["V_cc", "T", "I_d"],
+                    help="QoIs for the likelihood; u_ion / j_ion add the field terms "
+                         "(SVD-latent reconstruction, reference mcmc.py:85-89)")
 parser.add_argument("--id-penalty", type=float, default=2.0,
                     help="extra weight on the discharge-current misfit (reference mcmc.py:95-104)")
 
@@ -57,22 +66,10 @@ def load_system(args) -> System:
 
 
 def build_dataset(system, args):
-    """(operating conditions dict-of-arrays, observations dict, sigmas dict)."""
+    """(operating-conditions dict-of-arrays, scalar observations, scalar sigmas,
+    field observations) — see :mod:`dataset_util` for the experimental path."""
     if args.data:
-        entries = load_ht_datasets(args.data)
-        ops = {
-            "P_b": np.array([e.operating_condition["background pressure"] for e in entries]),
-            "V_a": np.array([e.operating_condition["discharge voltage"] for e in entries]),
-            "mdot_a": np.array([e.operating_condition["anode mass flow rate"] for e in entries]),
-        }
-        name_map = {"V_cc": "cathode coupling voltage", "T": "thrust", "I_d": "discharge current"}
-        obs, sig = {}, {}
-        for qoi, col in name_map.items():
-            vals = [e.data[col].val if col in e.data else np.nan for e in entries]
-            stds = [e.data[col].std if col in e.data else np.nan for e in entries]
-            obs[qoi] = np.asarray(vals, dtype=float)
-            sig[qoi] = np.asarray(stds, dtype=float)
-        return ops, obs, sig
+        return load_experiment(args.data, args.qois)
 
     # synthetic self-consistency dataset: model at nominal calibration values
     ops = {
@@ -88,11 +85,11 @@ def build_dataset(system, args):
             nom = v.nominal if v.nominal is not None else 0.5 * sum(v.get_domain())
             samples[v.name] = np.full(4, float(nom))
     truth = system.predict(samples, use_model=args.use_model)
-    obs = {q: np.asarray(truth[q], dtype=float) for q in args.qois if q in truth}
+    obs = {q: np.asarray(truth[q], dtype=float) for q in args.qois if q in truth and np.ndim(truth[q]) == 1}
     sig = {q: np.abs(obs[q]) * args.noise_std + 1e-12 for q in obs}
     rng = np.random.default_rng(0)
     obs = {q: obs[q] * (1 + args.noise_std * rng.standard_normal(obs[q].shape)) for q in obs}
-    return ops, obs, sig
+    return ops, obs, sig, {}
 
 
 def main(argv=None):
@@ -102,38 +99,75 @@ def main(argv=None):
     names = [v.name for v in calib]
     print(f"calibrating {len(names)} parameters: {names}")
 
-    ops, obs, sig = build_dataset(system, args)
+    ops, obs, sig, fields = build_dataset(system, args)
     n_ops = len(next(iter(ops.values())))
+    M = max(1, args.noise_samples)
+    _noise_seed = [0]
 
     def log_likelihood(theta: np.ndarray) -> np.ndarray:
-        """Gaussian log-lik over all QoIs and operating conditions; theta (W, d).
-        One batched predict over (W * n_ops) samples per call."""
+        """Gaussian log-lik over all QoIs (scalar + field) and operating
+        conditions; theta (W, d). One batched predict over (W * M * n_ops)
+        samples per call; with M > 1, operating-condition / nuisance noise is
+        marginalized by logsumexp over the M samples (reference mcmc.py:57-106:
+        inputs resampled from their pdfs about the experimental nominals)."""
         W = theta.shape[0]
+        N = W * M * n_ops
+        _noise_seed[0] += 1
+        rng = np.random.default_rng(1000 + _noise_seed[0])
         batch = {}
         for v in system.inputs():
+            if v.name in names:
+                batch[v.name] = np.repeat(theta[:, names.index(v.name)], M * n_ops)
+                continue
             if v.name in ops:
-                batch[v.name] = np.tile(ops[v.name], W)
-            elif v.name in names:
-                batch[v.name] = np.repeat(theta[:, names.index(v.name)], n_ops)
+                base = np.tile(ops[v.name], W * M)
             else:
                 nom = v.nominal if v.nominal is not None else 0.5 * sum(v.get_domain())
-                batch[v.name] = np.full(W * n_ops, float(nom))
-        pred = system.predict(batch, use_model=args.use_model, qoi_ind=list(obs))
-        ll = np.zeros(W)
-        bad = np.zeros(W, dtype=bool)
+                base = np.full(N, float(nom))
+            if M > 1 and v.distribution is not None and v.category in ("operating", "nuisance"):
+                # jitter about the (per-condition) nominal via the variable's pdf
+                import jax
+
+                key = jax.random.PRNGKey(rng.integers(2**31))
+                jit_v = np.asarray(v.sample(key, (N,), nominal=base))
+                batch[v.name] = jit_v
+            else:
+                batch[v.name] = base
+        qoi_list = list(obs) + list(fields)
+        pred = system.predict(batch, use_model=args.use_model, qoi_ind=qoi_list)
+
+        ll = np.zeros((W, M))
+        bad = np.zeros((W, M), dtype=bool)
         for q in obs:
-            p = np.asarray(pred[q], dtype=float).reshape(W, n_ops)
+            p = np.asarray(pred[q], dtype=float).reshape(W, M, n_ops)
             mask = np.isfinite(obs[q])
             r = (p - obs[q])[..., mask] / sig[q][mask]
-            # a theta whose prediction fails (NaN) for ANY observed condition is
-            # rejected outright — nansum would silently zero the misfit and bias
-            # the posterior toward solver-failure regions (reference uses plain
-            # sum so NaN propagates: /root/reference/scripts/pem_v0/mcmc.py:95-104)
+            # a sample whose prediction fails (NaN) at ANY observed condition is
+            # rejected outright — silently dropping the misfit would bias the
+            # posterior toward solver-failure regions (reference uses plain sum
+            # so NaN propagates: /root/reference/scripts/pem_v0/mcmc.py:95-104)
             bad |= ~np.isfinite(r).all(axis=-1)
             w = args.id_penalty if q == "I_d" else 1.0
             ll += -0.5 * w * np.sum(np.where(np.isfinite(r), r, 0.0) ** 2, axis=-1)
-        ll = np.where(bad | ~np.isfinite(ll), -1e30, ll)
-        return ll
+        for q, specs in fields.items():
+            prof, grid = field_profiles(system, pred, q)
+            prof = prof.reshape(W, M, n_ops, -1)
+            grid = grid.reshape(W, M, n_ops, -1)
+            for k, spec in enumerate(specs):
+                if spec is None:
+                    continue
+                g0 = grid[0, 0, k]
+                pk = prof[:, :, k, :].reshape(W * M, -1)
+                interp = np.stack([np.interp(spec["coords"], g0, row) for row in pk])
+                r = (interp.reshape(W, M, -1) - spec["vals"]) / spec["stds"]
+                bad |= ~np.isfinite(r).all(axis=-1)
+                ll += -0.5 * np.sum(np.where(np.isfinite(r), r, 0.0) ** 2, axis=-1)
+        ll = np.where(bad | ~np.isfinite(ll), -np.inf, ll)
+        # logsumexp over the M noise samples (reference mcmc.py:103-104)
+        mx = np.max(ll, axis=1, keepdims=True)
+        safe_mx = np.where(np.isfinite(mx), mx, 0.0)
+        out = safe_mx[:, 0] + np.log(np.sum(np.exp(ll - safe_mx), axis=1)) - np.log(M)
+        return np.where(np.isfinite(out), out, -1e30)
 
     def log_prior(theta: np.ndarray) -> np.ndarray:
         lp = np.zeros(theta.shape[0])
@@ -202,23 +236,25 @@ def journal_plots(system, args, names, flat, ops, obs, sig, n_draws: int = 200):
     pressures = np.geomspace(max(ops["P_b"].min() * 0.5, 1e-7), ops["P_b"].max() * 2, 12)
 
     qois = [q for q in obs if np.ndim(obs[q]) == 1]
+    # ONE batched predict over (draws x pressures) — per-draw python loops would
+    # serialize n_draws model dispatches (hours for the true solver)
+    nP = len(pressures)
+    batch = {}
+    for v in system.inputs():
+        if v.name == "P_b":
+            batch[v.name] = np.tile(pressures, n_draws)
+        elif v.name in ops:
+            batch[v.name] = np.full(n_draws * nP, float(np.median(ops[v.name])))
+        elif v.name in names:
+            batch[v.name] = np.repeat(draws[:, names.index(v.name)], nP)
+        else:
+            nom = v.nominal if v.nominal is not None else 0.5 * sum(v.get_domain())
+            batch[v.name] = np.full(n_draws * nP, float(nom))
+    out = system.predict(batch, use_model=args.use_model, qoi_ind=qois)
+
     fig, axes = plt.subplots(1, len(qois), figsize=(3.2 * len(qois), 2.8), squeeze=False)
     for ax, q in zip(axes[0], qois):
-        preds = np.empty((n_draws, len(pressures)))
-        for i, theta in enumerate(draws):
-            batch = {}
-            for v in system.inputs():
-                if v.name == "P_b":
-                    batch[v.name] = pressures
-                elif v.name in ops:
-                    batch[v.name] = np.full(len(pressures), float(np.median(ops[v.name])))
-                elif v.name in names:
-                    batch[v.name] = np.full(len(pressures), theta[names.index(v.name)])
-                else:
-                    nom = v.nominal if v.nominal is not None else 0.5 * sum(v.get_domain())
-                    batch[v.name] = np.full(len(pressures), float(nom))
-            out = system.predict(batch, use_model=args.use_model, qoi_ind=[q])
-            preds[i] = np.asarray(out[q], dtype=float)
+        preds = np.asarray(out[q], dtype=float).reshape(n_draws, nP)
         lo, mid, hi = np.nanpercentile(preds, [5, 50, 95], axis=0)
         ax.fill_between(pressures, lo, hi, alpha=0.3, color="0.5")
         ax.plot(pressures, mid, "-k", lw=1)

@@ -38,10 +38,19 @@ def main(argv=None):
     from hallthrusterpem_tpu.utils import load_thruster
 
     device = load_thruster("SPT-100")
-    dt = 5e-9
+    # CFL-consistent dt (the wrapper's default_model_fidelity rule): Xe at
+    # ncharge fully accelerated must stay below ~0.2 dz/dt
+    dz = 0.08 / (args.cells + 1)
+    u_fast = float(np.sqrt(2 * args.ncharge * 1.602e-19 * 400.0 / 2.18e-25))
+    dt = min(5e-9, 0.2 * dz / u_fast)
     cfg = SolverConfig(
         num_cells=args.cells, ncharge=args.ncharge, dt=dt, duration=args.duration,
         average_start_time=args.duration / 2,
+        # round-2 physics defaults matching the reference pem_v0 config surface:
+        # quasi-1D plume expansion + divergence correction + the published
+        # LogisticPressureShift anomalous-transport profile
+        solve_plume=True, apply_thrust_divergence_correction=True,
+        pressure_shift="LogisticPressureShift",
     )
     base_B = jnp.asarray(_load_bfield(device, cfg), jnp.float32)
 
@@ -52,8 +61,8 @@ def main(argv=None):
     params = make_params({
         "V_d": VD.ravel().astype(np.float32),
         "mdot_a": MD.ravel().astype(np.float32),
-        "V_cc": 30.0, "P_b": 1e-5, "u_n": 300.0,
-        "a1": 0.00625, "a2": 0.0625,
+        "V_cc": 30.0, "P_b": 1e-5, "u_n": 150.0,
+        "a1": 0.00625, "a2": 0.0625, "shift_z0": -0.03104,
     })
 
     t0 = time.time()

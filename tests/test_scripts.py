@@ -157,3 +157,41 @@ def test_bench_importable():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     assert callable(mod.main)
+
+
+def test_mcmc_script_real_data_fields(workdir, monkeypatch, capsys):
+    """Calibration against the bundled experimental datasets with u_ion/j_ion
+    field likelihood terms (SVD-latent reconstruction + interpolation onto the
+    data coordinates; reference mcmc.py:85-89) and M=2 logsumexp noise
+    marginalization (reference mcmc.py:103-104)."""
+    import mcmc
+
+    monkeypatch.chdir(workdir)
+    mcmc.main([str(workdir / "fake_pem.yml"), "--use-model", "best", "--data", "spt100",
+               "--niter", "25", "--walkers", "3", "--noise-samples", "2",
+               "--qois", "V_cc", "T", "I_d", "u_ion", "j_ion",
+               "--file", str(workdir / "chain_data.h5")])
+    out = capsys.readouterr().out
+    assert "posterior mean" in out
+    from hallthrusterpem_tpu.uq import read_mcmc_chain
+
+    chains, logps = read_mcmc_chain(workdir / "chain_data.h5", burn_frac=0.0, clean=False)
+    assert chains.shape[0] == 26 and np.isfinite(chains).all()
+    # the likelihood must actually constrain the chain (not flat prior wandering)
+    assert np.isfinite(logps).all() and logps.max() > -1e29
+
+
+def test_monte_carlo_experimental_comparison(workdir, monkeypatch, capsys):
+    """Model-vs-data tables at experimental operating conditions plus the MISC
+    allocation replay (reference monte_carlo.py:63-335, 708-767)."""
+    import monte_carlo
+
+    monkeypatch.chdir(workdir)
+    monte_carlo.main([str(workdir / "fake_pem.yml"), "--data", "spt100", "-n", "32",
+                      "--compare-model", "--allocation",
+                      "--qois", "V_cc", "T", "I_d", "u_ion"])
+    out = capsys.readouterr().out
+    assert "experimental operating conditions" in out
+    assert "rel-L2 surrogate vs data" in out and "rel-L2 model vs data" in out
+    assert "u_ion (field, vs data)" in out
+    assert "MISC allocation" in out
