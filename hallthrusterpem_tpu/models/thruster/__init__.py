@@ -155,7 +155,9 @@ def solver_backend(cfg: SolverConfig) -> tuple[str, int]:
     on_tpu = jax.default_backend() == "tpu"
     choice = os.environ.get("HTPEM_SOLVER", "")
     if not choice:
-        choice = "pallas" if (on_tpu and cfg.nc <= 254 and cfg.num_save == 0) else "lax"
+        # num_save no longer forces the lax path: the K-step kernel records
+        # full-resolution I_d(t) in spare accumulator lanes at kernel speed
+        choice = "pallas" if (on_tpu and cfg.nc <= 254) else "lax"
     if cfg.solve_plume and choice == "pallas" and not PALLAS_SOLVE_PLUME:
         choice = "lax"  # never route plume physics to a kernel that lacks it
     chunk = int(os.environ.get("HTPEM_CHUNK_STEPS", "2000" if on_tpu else "0"))

@@ -55,6 +55,9 @@ PEM_TO_JULIA: dict = {
     "eta_a": ["output", "average", "anode_eff"],
     "u_ion": ["output", "average", "ui", 0],
     "u_ion_coords": ["output", "average", "z"],
+    # simulation.num_save discharge-current time series (breathing diagnostics)
+    "discharge_current_trace": ["output", "average", "discharge_current_trace"],
+    "trace_times": ["output", "average", "trace_times"],
 }
 
 

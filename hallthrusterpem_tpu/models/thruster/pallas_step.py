@@ -514,10 +514,14 @@ def build_step_kernel(cfg: SolverConfig, interpret: bool = False, tile_b: int = 
 
 # accumulator scalar slots (lanes of the packed (TILE_B, 128) accumulator block)
 _A_THRUST, _A_ID, _A_ID2, _A_IB0, _A_MDOT, _A_UEXIT, _A_FAILED = range(7)
+#: first of the per-inner-step I_d trace lanes (SET each step when tracing —
+#: lanes 7..7+K-1 hold the CURRENT block's full-resolution discharge-current
+#: history, emitted per block by the outer scan; requires inner_steps <= 121)
+_A_TRACE0 = 7
 
 
 def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool = False,
-                           tile_b: int = TILE_B):
+                           tile_b: int = TILE_B, trace: bool = False):
     """K timesteps per kernel launch with state AND accumulators resident in VMEM
     (``jax.lax.fori_loop`` inside the kernel). HBM traffic drops from
     O(arrays * steps) to O(arrays * steps / K); accumulation is exact (same
@@ -606,6 +610,10 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
                 jnp.maximum(sacc, failed_flag[:, None]),
                 sacc + contrib,
             )
+            if trace:
+                # full-resolution I_d(t): SET lane _A_TRACE0 + k to this step's
+                # current (overwrites the previous block's stale value)
+                sacc = jnp.where(lane128 == _A_TRACE0 + k, I_d[:, None], sacc)
             return (rho_n, nE, rho_i, mom_i, u_post, tuple(new_prof), sacc)
 
         # one scrub per K-block (identity for healthy states; physics runs lean).
@@ -695,22 +703,26 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
     return stepK
 
 
-@partial(jax.jit, static_argnames=("cfg", "inner_steps", "n_calls", "interpret", "tile_b"))
+@partial(jax.jit, static_argnames=("cfg", "inner_steps", "n_calls", "interpret", "tile_b", "trace"))
 def _pallas_multi_segment(params, consts, state, prof, sacc, i0, cfg: SolverConfig,
                           inner_steps: int, n_calls: int, interpret: bool = False,
-                          tile_b: int = TILE_B):
-    """``n_calls`` sequential K-step kernel launches under one jit (outer scan)."""
-    stepK = build_multistep_kernel(cfg, inner_steps, interpret=interpret, tile_b=tile_b)
+                          tile_b: int = TILE_B, trace: bool = False):
+    """``n_calls`` sequential K-step kernel launches under one jit (outer scan).
+    With ``trace``, each block's full-resolution I_d(t) lanes are emitted as the
+    scan's ys: (n_calls, B, inner_steps)."""
+    stepK = build_multistep_kernel(cfg, inner_steps, interpret=interpret, tile_b=tile_b,
+                                   trace=trace)
 
     def body(carry, _):
         state, prof, sacc, i0 = carry
         state, prof, sacc = stepK(state, prof, sacc, consts, i0)
-        return (state, prof, sacc, i0 + inner_steps), None
+        ys = sacc[:, _A_TRACE0 : _A_TRACE0 + inner_steps] if trace else None
+        return (state, prof, sacc, i0 + inner_steps), ys
 
-    (state, prof, sacc, i0), _ = jax.lax.scan(
+    (state, prof, sacc, i0), traces = jax.lax.scan(
         body, (state, prof, sacc, i0), None, length=n_calls
     )
-    return state, prof, sacc, i0
+    return state, prof, sacc, i0, traces
 
 
 def simulate_batch_pallas_multi(
@@ -721,7 +733,17 @@ def simulate_batch_pallas_multi(
     calls_per_dispatch: int = 40,
     interpret: bool = False,
 ) -> dict:
-    """:func:`simulate_batch_pallas` with the K-step VMEM-resident kernel."""
+    """:func:`simulate_batch_pallas` with the K-step VMEM-resident kernel.
+
+    ``cfg.num_save > 0`` additionally returns evenly-spaced I_d(t) snapshots
+    (the reference's ``simulation.num_save``) captured at FULL kernel speed:
+    each inner step SETs its current into a spare lane of the VMEM-resident
+    accumulator block, so the trace costs one masked select per step instead of
+    forfeiting the fused kernel for the lax path.
+    """
+    trace = cfg.num_save > 0
+    if trace and inner_steps > 128 - _A_TRACE0:
+        inner_steps = 128 - _A_TRACE0
     params = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
     B0 = params["V_d"].shape[0]
     tb = tile_b_for(B0)
@@ -740,11 +762,15 @@ def simulate_batch_pallas_multi(
 
     total_calls = -(-cfg.num_steps // inner_steps)
     done = 0
+    trace_blocks = []
     while done < total_calls:
         n_calls = min(calls_per_dispatch, total_calls - done)
-        state, prof, sacc, i0 = _pallas_multi_segment(
-            params, consts, state, prof, sacc, i0, cfg, inner_steps, n_calls, interpret, tb
+        state, prof, sacc, i0, traces = _pallas_multi_segment(
+            params, consts, state, prof, sacc, i0, cfg, inner_steps, n_calls, interpret, tb,
+            trace
         )
+        if trace:
+            trace_blocks.append(traces)  # (n_calls, B, inner_steps)
         done += n_calls
 
     # assemble the accumulator dict the shared finalizer expects
@@ -764,6 +790,14 @@ def simulate_batch_pallas_multi(
     }
     failed = sacc[:, _A_FAILED] > 0.5
     out = _pallas_finalize(params, (state, accum, i0, failed), consts, base_B, cfg)
+    if trace:
+        # (B, total_steps) full-resolution I_d; subsample like solver.py's lax path
+        full = jnp.concatenate([t.transpose(1, 0, 2).reshape(B, -1) for t in trace_blocks], axis=1)
+        stride = max(1, cfg.num_steps // cfg.num_save)
+        idx = jnp.arange(cfg.num_save) * stride
+        tr = full[:, idx]
+        out["discharge_current_trace"] = jnp.where(failed[:, None], jnp.nan, tr)
+        out["trace_times"] = jnp.broadcast_to((idx.astype(jnp.float32) + 1.0) * cfg.dt, tr.shape)
     if pad:
         out = {k: v[:B0] for k, v in out.items()}
     return out

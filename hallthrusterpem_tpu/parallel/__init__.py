@@ -15,5 +15,7 @@ from hallthrusterpem_tpu.parallel.mesh import (
     pad_to_multiple,
     BatchExecutor,
 )
+from hallthrusterpem_tpu.parallel import distributed
 
-__all__ = ["make_mesh", "shard_batch", "sharded_call", "pad_to_multiple", "BatchExecutor"]
+__all__ = ["make_mesh", "shard_batch", "sharded_call", "pad_to_multiple", "BatchExecutor",
+           "distributed"]

@@ -130,3 +130,27 @@ def test_pallas_solve_plume_parity():
     off = {k: np.asarray(v) for k, v in simulate_batch(params, base_B, cfg_off).items()}
     assert np.any(np.abs(off["discharge_current"] - ref["discharge_current"])
                   / np.abs(off["discharge_current"]) > 0.01)
+
+
+def test_multistep_kernel_trace_matches_lax():
+    """num_save I_d(t) traces captured in spare accumulator lanes at kernel
+    speed must match the lax path's per-step trace (same subsampling)."""
+    B = TILE_B
+    nsteps = 1200
+    cfg = SolverConfig(num_cells=60, ncharge=1, dt=8e-9, duration=nsteps * 8e-9,
+                       average_start_time=nsteps // 2 * 8e-9, num_save=40)
+    z = cfg.cell_centers()
+    s = np.where(z < 0.025, 0.011, 0.018)
+    base_B = jnp.asarray(0.016 * np.exp(-0.5 * ((z - 0.025) / s) ** 2), jnp.float32)
+    vd = np.linspace(285, 315, B).astype(np.float32)
+    params = make_params({"V_d": vd, "V_cc": 30.0, "mdot_a": 5e-6, "P_b": 1e-5})
+
+    ref = {k: np.asarray(v) for k, v in simulate_batch(params, base_B, cfg).items()}
+    got = {k: np.asarray(v) for k, v in
+           simulate_batch_pallas_multi(params, base_B, cfg, interpret=True).items()}
+    assert "discharge_current_trace" in got
+    assert got["discharge_current_trace"].shape == (B, 40)
+    assert np.allclose(got["trace_times"][0], ref["trace_times"], rtol=1e-6)
+    r, g = ref["discharge_current_trace"], got["discharge_current_trace"]
+    rel = np.abs(g - r) / np.maximum(np.abs(r), 1e-3)
+    assert np.nanmax(rel) < 0.05, (np.nanmax(rel),)
