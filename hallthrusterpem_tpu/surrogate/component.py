@@ -325,10 +325,17 @@ class ComponentSurrogate:
                 n_new += n2
                 # probes whose new-alpha evals failed got median-imputed inside
                 # evaluate_points (garbage vs the reference cache) — measure the
-                # gap over clean probes only, and penalize by the failure rate
-                rep = getattr(self, "_repaired_keys", {}).get(alpha, set())
-                ok = [j for j, k in enumerate(keys) if k not in rep]
-                probe_fail = 1.0 - len(ok) / len(keys)
+                # gap over clean probes only. The failure penalty counts only
+                # EXCESS failures: probe points that are clean at the source
+                # alpha but fail at the candidate (points failing at BOTH levels
+                # say nothing about the candidate's health — for a model with a
+                # baseline failure region this would veto every alpha advance).
+                repaired = getattr(self, "_repaired_keys", {})
+                rep_new = repaired.get(alpha, set())
+                rep_src = repaired.get(src_alpha, set())
+                clean_src = [j for j, k in enumerate(keys) if k not in rep_src]
+                ok = [j for j in clean_src if keys[j] not in rep_new]
+                probe_fail = 1.0 - len(ok) / max(len(clean_src), 1)
                 if ok:
                     vals_new = vals_new[ok]
                     vals_ref = np.stack([src_cache[keys[j]] for j in ok], axis=0)
@@ -336,8 +343,20 @@ class ComponentSurrogate:
                         vals_new, vals_ref = vals_new[:, out_cols], vals_ref[:, out_cols]
                     err = max(err, _bounded_rel(vals_new, vals_ref))
 
-        # candidates whose model evals mostly failed are de-prioritized outright
-        err *= max(0.0, 1.0 - 2.0 * max(self.nan_frac.get(kappa, 0.0), probe_fail))
+        # candidates whose model evals fail MORE OFTEN than the already-active
+        # set are de-prioritized in proportion to the excess, with a floor: a
+        # hard zero would freeze refinement entirely for models with a baseline
+        # failure region (e.g. a breathing discharge whose wide prior fails
+        # ~30% everywhere), since every candidate grid touches it eventually.
+        # TOTAL failure (every build point imputed, or every clean-at-source
+        # probe failing at the new alpha) stays a hard veto — there is no signal
+        # at all to refine toward.
+        own_frac = max(self.nan_frac.get(kappa, 0.0), probe_fail)
+        if own_frac >= 0.99:
+            return 0.0, n_new, max(n_new, 1) * self.component.get_cost(alpha)
+        base_frac = max([self.nan_frac.get(k, 0.0) for k in self.active], default=0.0)
+        excess = max(0.0, own_frac - base_frac)
+        err *= max(0.1, 1.0 - 2.0 * excess)
         cost = max(n_new, 1) * self.component.get_cost(alpha)
         _ = time.perf_counter() - t0
         return err, n_new, cost

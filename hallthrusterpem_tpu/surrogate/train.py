@@ -118,12 +118,18 @@ def fit_system(
 
     coupling_names = {v.name for v in system.coupling_vars}
 
+    stall = 0
+    best_err_seen = float("inf")
+    stall_window = 10
+
     for iteration in range(int(max_iter)):
         t_iter = time.perf_counter()
         best = None  # (indicator, comp, kappa, err, n_new)
+        best_alpha_adv = None  # best alpha-advancing candidate by RAW error
         for comp in system.components:
             surr = comp.surrogate
             out_cols = surr.output_mask(targets, coupling_names)
+            active_alphas = {k[: surr.n_alpha] for k in surr.active}
             for kappa in sorted(surr.candidates):
                 err, n_new, cost = surr.candidate_surplus(
                     kappa, num_refine=num_refine, rng=rng, out_cols=out_cols
@@ -135,10 +141,28 @@ def fit_system(
                 indicator = err / max(cost, 1e-3) ** 0.5
                 if best is None or indicator > best[0]:
                     best = (indicator, comp, kappa, err, n_new)
+                if surr.n_alpha and kappa[: surr.n_alpha] not in active_alphas:
+                    if best_alpha_adv is None or err > best_alpha_adv[0]:
+                        best_alpha_adv = (err, comp, kappa, n_new)
         if best is None or best[0] <= 0.0:
             if verbose:
                 system.logger.info("No informative candidates left; refinement stops.")
             break
+
+        # stagnation escape: when the targeted test error has not improved over
+        # the last `stall_window` activations, the cost-aware indicator is
+        # overestimating its cheap candidates — force the best model-fidelity
+        # (alpha) advance by raw error, ignoring cost. Beta refinement cannot
+        # reduce the alpha-level model gap no matter how many knots it adds.
+        if stall >= stall_window and best_alpha_adv is not None and best_alpha_adv[0] > 0:
+            err_a, comp_a, kappa_a, n_new_a = best_alpha_adv
+            best = (float("inf"), comp_a, kappa_a, err_a, n_new_a)
+            stall = stall_window // 2  # give the new level a few iterations to build out
+            if verbose:
+                system.logger.info(
+                    "stagnation escape: forcing alpha advance %s on %s (raw err %.3e)",
+                    kappa_a[: comp_a.surrogate.n_alpha], comp_a.name, err_a,
+                )
 
         _, comp, kappa, err, n_new = best
         surr = comp.surrogate
@@ -167,6 +191,14 @@ def fit_system(
 
         if save_interval and (iteration + 1) % save_interval == 0:
             _checkpoint(iteration + 1)
+
+        if errors:
+            cur = max(errors.values())
+            if cur < best_err_seen * 0.99:
+                best_err_seen = cur
+                stall = 0
+            else:
+                stall += 1
 
         if errors and max(errors.values()) < max_tol:
             if verbose:

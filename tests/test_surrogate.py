@@ -264,3 +264,54 @@ def test_as_jax_fn_matches_numpy_predict():
     dev = fn({k: np.asarray(v, np.float32) for k, v in xt.items()})
     for k in ("f", "g"):
         assert np.allclose(np.asarray(dev[k]), np.asarray(host[k], dtype=float), atol=2e-4)
+
+
+def test_fidelity_ladder_climbs_with_baseline_failures():
+    """A model whose ALL fidelity levels fail on the same ~25% of the domain must
+    still climb the alpha ladder (round-2 regression: an absolute failure
+    penalty vetoed every alpha advance for a breathing solver whose wide prior
+    has a baseline failure rate, freezing training at the coarse model)."""
+    import numpy as np
+    from hallthrusterpem_tpu.core.system import System
+    from hallthrusterpem_tpu.core.component import Component
+    from hallthrusterpem_tpu.core.variables import Variable
+
+    def model(inputs, model_fidelity=None, **kw):
+        x = np.asarray(inputs["x"])
+        a = (model_fidelity or (0,))[0]
+        y = np.sin(3 * x) + (0.0 if a >= 1 else 0.4 + 0.2 * x)  # alpha=0 biased
+        y = np.where((x * 37.0) % 1.0 < 0.25, np.nan, y)  # alpha-independent failures
+        return {"y": y, "model_cost": np.full_like(x, 10.0 if a else 0.1)}
+
+    comp = Component(name="c", model=model, vectorized=True,
+                     inputs=[Variable(name="x", domain=(0, 1), nominal=0.5)],
+                     outputs=[Variable(name="y")], model_fidelity=(1,), data_fidelity=(3,))
+    system = System(name="s", components=[comp])
+    xt = {"x": np.linspace(0, 1, 200)}
+    system.fit(max_iter=10, num_refine=64, test_set=(xt, {"y": np.sin(3 * xt["x"])}),
+               targets=["y"], verbose=False)
+    alphas = {k[:1] for k in comp.surrogate.active}
+    assert (1,) in alphas, f"alpha ladder never climbed: {sorted(comp.surrogate.active)}"
+
+
+def test_all_failing_alpha_never_promoted():
+    """An alpha level that fails EVERYWHERE has no refinable signal and must
+    stay vetoed (the round-1 advisor finding), baseline failures or not."""
+    import numpy as np
+    from hallthrusterpem_tpu.core.system import System
+    from hallthrusterpem_tpu.core.component import Component
+    from hallthrusterpem_tpu.core.variables import Variable
+
+    def model(inputs, model_fidelity=None, **kw):
+        x = np.asarray(inputs["x"])
+        if (model_fidelity or (0,))[0] == 0:
+            return {"y": np.sin(3 * x) + 0.1 * x}
+        return {"y": np.full_like(x, np.nan)}
+
+    comp = Component(name="c", model=model, vectorized=True,
+                     inputs=[Variable(name="x", domain=(0, 1), nominal=0.5)],
+                     outputs=[Variable(name="y")], model_fidelity=(1,), data_fidelity=(2,))
+    system = System(name="s", components=[comp])
+    system.fit(max_iter=8, num_refine=64, verbose=False)
+    alphas = {k[:1] for k in comp.surrogate.active}
+    assert (1,) not in alphas
