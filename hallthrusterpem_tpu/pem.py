@@ -65,6 +65,8 @@ class CoupledPEM:
         pressure_shift: str = "LogisticPressureShift",
         duration: float = 1e-3,
         average_start_time: Optional[float] = None,
+        solve_plume: bool = True,
+        apply_thrust_divergence_correction: bool = True,
     ):
         from hallthrusterpem_tpu.models.thruster.mapping import default_model_fidelity
 
@@ -89,6 +91,11 @@ class CoupledPEM:
             ),
             anom_model=anom_model,
             pressure_shift=pressure_shift,
+            # the reference pem_v0 config enables both (pem_v0_SPT-100.yml)
+            solve_plume=bool((config or {}).get("solve_plume", solve_plume)),
+            apply_thrust_divergence_correction=bool(
+                (config or {}).get("apply_thrust_divergence_correction", apply_thrust_divergence_correction)
+            ),
         )
         from hallthrusterpem_tpu.models.thruster import _load_bfield
 
