@@ -98,6 +98,16 @@ class SolverConfig:
     #: sheath that throttles the electron current collected by the anode
     #: (HallThruster.jl's default anode boundary is a sheath, not Dirichlet)
     anode_sheath: bool = True
+    #: linearize the inelastic (ionization + excitation) energy sink implicitly
+    #: in the electron-energy solve (Newton source linearization; dk/dTe from
+    #: the canonical log-poly rate fits). The sink's Te-derivative is enormous
+    #: at low Te (exp(-E/Te) thresholds), and treating it explicitly
+    #: under-damps reignition spikes of the breathing cycle. Measured at
+    #: fidelity (2,2): tames the nominal point (300V/5.16mg I_d 8.4 -> 5.6 A)
+    #: but makes the cold-dense anode-starved attractor reachable at 250 V —
+    #: OFF by default until that attractor has its own fix (volume
+    #: recombination is the missing physics that forbids it).
+    implicit_inelastic: bool = False
     #: number of evenly-spaced time-series snapshots of the discharge current to
     #: record (the reference's ``simulation.num_save``; 0 = averages only).
     #: Diagnostics feature of the lax path (the Pallas path returns averages).

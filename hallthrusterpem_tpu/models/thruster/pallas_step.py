@@ -104,6 +104,11 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
     reactions = build_reactions(cfg.propellant, Z)
     rxn_coeffs = [(np.asarray(r.log_poly), r.z_from, r.z_to, r.energy_eV) for r in reactions]
     ex_coeffs, ex_energy = excitation_log_poly(cfg.propellant)
+    if cfg.implicit_inelastic:
+        from hallthrusterpem_tpu.models.thruster.rates import dlnk_dlnTe_poly
+
+        rxn_dcoeffs = [dlnk_dlnTe_poly(c) for c, *_ in rxn_coeffs]
+        ex_dcoeffs = dlnk_dlnTe_poly(ex_coeffs)
 
     rho_floor = float(1e10 * mi)
     ne_floor = 1e12
@@ -273,7 +278,9 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
         d_rho = [jnp.zeros_like(rho_n) for _ in range(Z)]
         d_mom = [jnp.zeros_like(rho_n) for _ in range(Z)]
         inelastic = jnp.zeros_like(rho_n)
-        for coeffs, z_from, z_to, energy in rxn_coeffs:
+        dinel_dTe = jnp.zeros_like(rho_n)
+        inv_Te = 1.0 / Te
+        for ri, (coeffs, z_from, z_to, energy) in enumerate(rxn_coeffs):
             k_r = jnp.exp(_poly_eval(coeffs, lnTe))
             n_from = nn if z_from == 0 else ni[z_from - 1]
             u_from = u_n if z_from == 0 else u_i[z_from - 1]
@@ -285,9 +292,16 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
                 d_mom[z_from - 1] = d_mom[z_from - 1] - dm * u_from
             d_rho[z_to - 1] = d_rho[z_to - 1] + dm
             d_mom[z_to - 1] = d_mom[z_to - 1] + dm * u_from
-            inelastic = inelastic + dm * (energy * inv_mi)
+            contrib = dm * (energy * inv_mi)
+            inelastic = inelastic + contrib
+            if cfg.implicit_inelastic:
+                dinel_dTe = dinel_dTe + contrib * _poly_eval(rxn_dcoeffs[ri], lnTe) * inv_Te
         k_ex = jnp.exp(_poly_eval(ex_coeffs, lnTe))
-        inelastic = inelastic + (ne * k_ex) * nn * ex_energy
+        ex_contrib = (ne * k_ex) * nn * ex_energy
+        inelastic = inelastic + ex_contrib
+        if cfg.implicit_inelastic:
+            dinel_dTe = dinel_dTe + ex_contrib * _poly_eval(ex_dcoeffs, lnTe) * inv_Te
+            dinel_dTe = jnp.maximum(dinel_dTe, 0.0)
 
         for z in range(Z):
             d_mom[z] = d_mom[z] + zq[z] * _E * ni[z] * E_z
@@ -341,6 +355,10 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
             sup = (Gn - kf) * inv_dz
             diag = ne_new * (1.5 * inv_dt + nu_eps * 1.5) + (Gp - Gn_m + kf + kf_m) * inv_dz
         rhs = nE * inv_dt + q_ohm - inelastic
+        if cfg.implicit_inelastic:
+            # Newton linearization of the inelastic sink (mirrors solver.py)
+            diag = diag + dinel_dTe
+            rhs = rhs + dinel_dTe * Te
         # Dirichlet BCs folded into the first/last interior rows
         Te_bc_l = jnp.full_like(dV, cfg.anode_Te)
         rhs = jnp.where(lane == 1, rhs - sub * Te_bc_l, rhs)

@@ -180,3 +180,17 @@ def lookup_rate(table, Te):
     idx = jnp.clip(pos.astype(jnp.int32), 0, N_TABLE - 2)
     frac = pos - idx
     return table[idx] * (1 - frac) + table[idx + 1] * frac
+
+
+def dlnk_dlnTe_poly(log_poly) -> np.ndarray:
+    """Coefficients of d(ln k)/d(ln Te) — the derivative of the canonical
+    ``ln k = polyval(log_poly, ln Te)`` fit. Used to linearize the inelastic
+    energy sink implicitly in the electron-energy solve: dk/dTe = k * p'(lnTe)/Te."""
+    return np.polyder(np.asarray(log_poly, dtype=np.float64))
+
+
+def derivative_table(reaction_or_coeffs) -> np.ndarray:
+    """``d(ln k)/d(ln Te)`` sampled on TE_GRID (lax-path lookup twin of
+    :func:`dlnk_dlnTe_poly`)."""
+    coeffs = getattr(reaction_or_coeffs, "log_poly", reaction_or_coeffs)
+    return np.polyval(dlnk_dlnTe_poly(coeffs), np.log(TE_GRID))

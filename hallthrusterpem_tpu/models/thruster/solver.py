@@ -157,6 +157,11 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
     ex_table_np, ex_energy = excitation_table(cfg.propellant)
     ex_table = jnp.asarray(ex_table_np, f)
     k_en = K_EN.get(cfg.propellant, 2.5e-13)
+    if cfg.implicit_inelastic:
+        from hallthrusterpem_tpu.models.thruster.rates import derivative_table, excitation_log_poly
+
+        rxn_dtables = [jnp.asarray(derivative_table(r), f) for r in reactions]
+        ex_dtable = jnp.asarray(derivative_table(excitation_log_poly(cfg.propellant)[0]), f)
 
     rho_floor = jnp.asarray(1e10 * mi, f)  # ~1e10 m^-3 vacuum floor
     ne_floor = jnp.asarray(1e12, f)
@@ -334,10 +339,11 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
 
         # ionization source terms (static unroll over <= 6 reactions)
         inelastic = jnp.zeros((NC,), f)
+        dinel_dTe = jnp.zeros((NC,), f)
         d_rho_n = jnp.zeros((NC,), f)
         d_rho = jnp.zeros((Z, NC), f)
         d_mom = jnp.zeros((Z, NC), f)
-        for r, table in zip(reactions, rxn_tables):
+        for ri, (r, table) in enumerate(zip(reactions, rxn_tables)):
             k_r = lookup_rate(table, Te)
             n_from = nn if r.z_from == 0 else ni[r.z_from - 1]
             u_from = u_n if r.z_from == 0 else u_i[r.z_from - 1]
@@ -351,11 +357,18 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
                 d_mom = d_mom.at[r.z_from - 1].add(-dm * u_from)
             d_rho = d_rho.at[r.z_to - 1].add(dm)
             d_mom = d_mom.at[r.z_to - 1].add(dm * u_from)
-            inelastic = inelastic + R * r.energy_eV
+            contrib = R * r.energy_eV
+            inelastic = inelastic + contrib
+            if cfg.implicit_inelastic:
+                dinel_dTe = dinel_dTe + contrib * lookup_rate(rxn_dtables[ri], Te) / Te
 
         # excitation losses
         k_ex = lookup_rate(ex_table, Te)
-        inelastic = inelastic + (ne * k_ex) * nn * ex_energy
+        ex_contrib = (ne * k_ex) * nn * ex_energy
+        inelastic = inelastic + ex_contrib
+        if cfg.implicit_inelastic:
+            dinel_dTe = dinel_dTe + ex_contrib * lookup_rate(ex_dtable, Te) / Te
+            dinel_dTe = jnp.maximum(dinel_dTe, 0.0)  # only the stabilizing branch
 
         # electric-field acceleration
         d_mom = d_mom + zq[:, None] * _E * ni * E_z  # force density Z e n_i E
@@ -411,6 +424,11 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
                 + nu_eps[1:-1] * 1.5 * n_c)
         q_ohm = (j_d_loc - j_i) * E_z / _E
         rhs = nE[1:-1] / dt + q_ohm[1:-1] - inelastic[1:-1]
+        if cfg.implicit_inelastic:
+            # Newton linearization of the inelastic sink about Te_old:
+            # L(Te') ~ L + L'(Te' - Te): unconditionally stabilizing (L' >= 0)
+            diag = diag + dinel_dTe[1:-1]
+            rhs = rhs + dinel_dTe[1:-1] * Te[1:-1]
         rhs = rhs.at[0].add(-sub[0] * Te_bc_l)
         rhs = rhs.at[-1].add(-sup[-1] * Te_bc_r)
         sub = sub.at[0].set(0.0)
