@@ -299,6 +299,30 @@ class System:
             comp.surrogate = None
         self.train_history = []
 
+    def load_training_cache(self, path) -> int:
+        """Merge a mid-fit training-data cache (written by ``fit(cache_interval=...)``)
+        into the component surrogates' evaluation caches so a restarted fit
+        reuses the expensive model evals. Returns the number of cached points."""
+        import pickle
+
+        from hallthrusterpem_tpu.surrogate.component import ComponentSurrogate
+
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        n = 0
+        for comp in self.components:
+            entry = payload.get(comp.name)
+            if entry is None:
+                continue
+            if comp.surrogate is None:
+                comp.surrogate = ComponentSurrogate(comp)
+            for alpha, cache in entry.get("eval_cache", {}).items():
+                comp.surrogate.eval_cache.setdefault(alpha, {}).update(cache)
+                n += len(cache)
+            for alpha, rec in entry.get("model_costs", {}).items():
+                comp.model_costs.setdefault(alpha, rec)
+        return n
+
     def get_allocation(self):
         """Cost-allocation accounting: ``(cost_alloc, model_cost, overhead_cost,
         model_evals)`` (reference ``fit_surr.py:119,153``)."""

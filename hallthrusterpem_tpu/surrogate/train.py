@@ -79,10 +79,12 @@ def fit_system(
 ):
     """Adaptively refine all component surrogates. Returns ``system.train_history``.
 
-    Unused-but-accepted kwargs (``estimate_bounds``, ``update_bounds``,
-    ``weight_fcns``, ``plot_interval``, ``executor``, ``cache_interval``) keep
-    call-site parity with the reference (``fit_surr.py:266-270``); the executor is
-    unnecessary because model evals are single batched SPMD calls.
+    Unused-but-accepted kwargs (``weight_fcns``, ``plot_interval``,
+    ``executor``) keep call-site parity with the reference
+    (``fit_surr.py:266-270``); the executor is unnecessary because model evals
+    are single batched SPMD calls. ``cache_interval`` persists the component
+    model-evaluation caches every N iterations (see
+    :meth:`System.load_training_cache` for restoring them).
     """
     from hallthrusterpem_tpu.surrogate.component import ComponentSurrogate
 
@@ -115,6 +117,24 @@ def fit_system(
         save_dir = Path(system.root_dir) / "surrogates" / f"{system.name}_iter{i}"
         save_dir.mkdir(parents=True, exist_ok=True)
         system.save_to_file(f"{system.name}_iter{i}.yml", save_dir)
+
+    def _cache_training_data():
+        """Persist the per-component model-evaluation caches mid-fit (the
+        reference's ``cache_interval``, fit_surr.py:95-96) so an interrupted
+        run's expensive model evals survive independently of full checkpoints."""
+        if system.root_dir is None:
+            return
+        import pickle
+
+        cache_dir = Path(system.root_dir) / "cache"
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        payload = {
+            comp.name: {"eval_cache": comp.surrogate.eval_cache,
+                        "model_costs": dict(comp.model_costs)}
+            for comp in system.components if comp.surrogate is not None
+        }
+        with open(cache_dir / f"{system.name}_training_cache.pkl", "wb") as f:
+            pickle.dump(payload, f)
 
     coupling_names = {v.name for v in system.coupling_vars}
 
@@ -191,6 +211,8 @@ def fit_system(
 
         if save_interval and (iteration + 1) % save_interval == 0:
             _checkpoint(iteration + 1)
+        if cache_interval and (iteration + 1) % cache_interval == 0:
+            _cache_training_data()
 
         if errors:
             cur = max(errors.values())

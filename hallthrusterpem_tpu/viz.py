@@ -55,11 +55,21 @@ def plot_slice(
         len(out_names), len(in_vars), figsize=(3 * len(in_vars), 2.5 * len(out_names)),
         squeeze=False,
     )
+    rng = np.random.default_rng(0)
     for j, var in enumerate(in_vars):
         dom = var.get_domain()
         sweep = np.linspace(dom[0], dom[1], num_steps)
         base = {}
         for v in system.inputs():
+            if random_walk and v.name != var.name and v.get_domain() is not None:
+                # off-axis inputs follow a random linear path through their
+                # domain instead of sitting at nominal (the reference's
+                # plot_slice(random_walk=True) semantics: slices along random
+                # directions exercise input interactions, not just main effects)
+                d2 = v.get_domain()
+                a, b = rng.uniform(d2[0], d2[1], 2)
+                base[v.name] = np.linspace(a, b, num_steps)
+                continue
             nom = nominal.get(v.name, v.nominal)
             if nom is None:
                 d2 = v.get_domain()

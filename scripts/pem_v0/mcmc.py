@@ -166,7 +166,8 @@ def main(argv=None):
         # logsumexp over the M noise samples (reference mcmc.py:103-104)
         mx = np.max(ll, axis=1, keepdims=True)
         safe_mx = np.where(np.isfinite(mx), mx, 0.0)
-        out = safe_mx[:, 0] + np.log(np.sum(np.exp(ll - safe_mx), axis=1)) - np.log(M)
+        with np.errstate(divide="ignore"):  # all-M-failed walkers -> log(0) -> rejected below
+            out = safe_mx[:, 0] + np.log(np.sum(np.exp(ll - safe_mx), axis=1)) - np.log(M)
         return np.where(np.isfinite(out), out, -1e30)
 
     def log_prior(theta: np.ndarray) -> np.ndarray:
