@@ -332,6 +332,17 @@ def hallthruster_jl(
         bad = bad | (np.asarray(outputs["I_d"]) < 0)
     if "eta_m" in outputs:
         bad = bad | (np.asarray(outputs["eta_m"]) < 0)
+    # beam current cannot exceed the fully-stripped mass-flow limit
+    # Z e mdot / m_i (x1.5 margin for ingestion + averaging noise): catches the
+    # cold-dense "glow" attractor whose reported beam current is nonsense
+    mdot_any = tree.get("config", {}).get("anode_mass_flow_rate")
+    if mdot_any is not None and "I_B0" in outputs:
+        from hallthrusterpem_tpu.constants import FUNDAMENTAL_CHARGE, atomic_mass_kg
+
+        mi = atomic_mass_kg(tree["config"].get("propellant", "Xenon"))
+        zmax = int(np.max(np.asarray(tree["config"].get("ncharge", 3))))
+        i_max = 1.5 * zmax * FUNDAMENTAL_CHARGE * np.asarray(mdot_any, dtype=float) / mi
+        bad = bad | (np.asarray(outputs["I_B0"]) > i_max)
     if shock_threshold is not None and "u_ion" in outputs:
         z = outputs["u_ion_coords"]
         ui = outputs["u_ion"]
