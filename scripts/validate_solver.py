@@ -62,7 +62,9 @@ def main(argv=None):
         "V_d": VD.ravel().astype(np.float32),
         "mdot_a": MD.ravel().astype(np.float32),
         "V_cc": 30.0, "P_b": 1e-5, "u_n": 150.0,
-        "a1": 0.00625, "a2": 0.0625, "shift_z0": -0.03104,
+        # c_w = 0.5 (within the calibration prior) avoids the high-V_d
+        # cold-dense attractor that c_w = 1.0 can fall into at 400 V
+        "a1": 0.00625, "a2": 0.0625, "shift_z0": -0.03104, "c_w": 0.5,
     })
 
     t0 = time.time()
