@@ -143,3 +143,38 @@ def test_pem_to_julia_override():
         pem_to_julia={"my_duration": ["simulation", "duration"]},
     )
     assert np.all(np.isfinite(out["T"]))
+
+
+def test_beam_current_physical_bound_guard(monkeypatch):
+    """Samples whose reported beam current exceeds the fully-stripped
+    mass-flow limit Z e mdot / m_i (x1.5) are NaN-masked: the cold-dense
+    attractor reports beam currents that violate this propellant-derived
+    invariant (round-2 guard). The guard is driven by doctoring the solver
+    output — an honest solve conserves mass and cannot trip it."""
+    import numpy as np
+
+    import hallthrusterpem_tpu.models.thruster as thr
+
+    real_run = thr.run_simulation
+
+    def doctored(tree, **kw):
+        out = real_run(tree, **kw)
+        avg = out["output"]["average"]
+        ic = np.asarray(avg["ion_current"], dtype=float)
+        ic[0] = 100.0  # impossible beam current for a 5 mg/s anode flow
+        avg["ion_current"] = ic
+        return out
+
+    monkeypatch.setattr(thr, "run_simulation", doctored)
+    inputs = {
+        "P_b": np.full(2, 1e-5), "V_a": np.full(2, 300.0),
+        "mdot_a": np.full(2, 5.16e-6), "V_cc": np.full(2, 30.0),
+    }
+    out = thr.hallthruster_jl(
+        inputs, thruster="SPT-100",
+        simulation={"grid": {"num_cells": 40}, "dt": 5e-9, "duration": 1.2e-4},
+        postprocess={"average_start_time": 8e-5},
+        model_fidelity=(0, 0),
+    )
+    assert np.isnan(out["I_B0"][0]) and np.isnan(out["T"][0]), out["I_B0"]
+    assert np.isfinite(out["I_B0"][1]), out["I_B0"]
