@@ -89,6 +89,12 @@ class SolverConfig:
     neutral_temp_K: float = 500.0
     ion_temp_K: float = 1000.0
     background_temp_K: float = 150.0
+    #: electron-density floor [m^-3]: the minimum ne seen by ionization and the
+    #: Ohm solve. Physically a pre-ionization/background-plasma seed: a higher
+    #: floor re-ignites a quenched discharge earlier and gentler, shallowing
+    #: the breathing limit cycle and shrinking the basin of the cold-dense
+    #: attractor (see docs/validation.md round-2 breathing study).
+    ne_floor: float = 1e12
     Te_min: float = 0.5  # eV floor
     Te_max: float = 150.0  # eV ceiling (guards rate-table range)
     anode_Te: float = 2.0  # eV Dirichlet BC

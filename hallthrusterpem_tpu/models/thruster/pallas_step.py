@@ -111,7 +111,7 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
         ex_dcoeffs = dlnk_dlnTe_poly(ex_coeffs)
 
     rho_floor = float(1e10 * mi)
-    ne_floor = 1e12
+    ne_floor = cfg.ne_floor
     # strength-reduced constants: the VPU is the bottleneck and divisions cost
     # several multiplies each, so every divide-by-constant becomes a multiply
     inv_mi = 1.0 / mi

@@ -164,7 +164,7 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
         ex_dtable = jnp.asarray(derivative_table(excitation_log_poly(cfg.propellant)[0]), f)
 
     rho_floor = jnp.asarray(1e10 * mi, f)  # ~1e10 m^-3 vacuum floor
-    ne_floor = jnp.asarray(1e12, f)
+    ne_floor = jnp.asarray(cfg.ne_floor, f)
 
     dV = p["V_d"] - p["V_cc"]
 

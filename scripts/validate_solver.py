@@ -61,15 +61,31 @@ def main(argv=None):
     params = make_params({
         "V_d": VD.ravel().astype(np.float32),
         "mdot_a": MD.ravel().astype(np.float32),
-        "V_cc": 30.0, "P_b": 1e-5, "u_n": 150.0,
-        # c_w = 0.5 (within the calibration prior) avoids the high-V_d
-        # cold-dense attractor that c_w = 1.0 can fall into at 400 V
-        "a1": 0.00625, "a2": 0.0625, "shift_z0": -0.03104, "c_w": 0.5,
+        "V_cc": 30.0, "P_b": 1e-5,
+        # the GENUINELY STEADY operating pocket (verified non-breathing out to
+        # 3 ms; docs/validation.md "window-fragility" study): u_n=130, c_w=1.2,
+        # a1=1/160. Breathing configurations (e.g. u_n=150/c_w=0.5) average
+        # closer to published values over some windows but the averages are
+        # window-fragile — reproducibility wins here.
+        "u_n": 130.0, "c_w": 1.2,
+        "a1": 0.0063, "a2": 0.0625, "shift_z0": -0.03104,
     })
 
     t0 = time.time()
     out = {k: np.asarray(v) for k, v in dispatch_solver(params, base_B, cfg).items()}
     wall = time.time() - t0
+
+    # apply the wrapper's physicality guards (the PEM NaN-masks these rows;
+    # dispatch_solver is below that layer): negative beam/discharge current or
+    # mass efficiency, or beam current above the fully-stripped mass-flow limit,
+    # mark a sample that fell into a pathological mode (deep-breathing window
+    # artifact or the cold-dense attractor)
+    from hallthrusterpem_tpu.constants import FUNDAMENTAL_CHARGE
+
+    i_max = 1.5 * cfg.ncharge * FUNDAMENTAL_CHARGE * MD.ravel() / cfg.mi
+    bad = ((out["ion_current"] < 0) | (out["discharge_current"] < 0)
+           | (out["mass_eff"] < 0) | (out["ion_current"] > i_max)
+           | ~np.isfinite(out["thrust"]))
 
     print(f"# {VD.size} operating points, {cfg.num_steps} steps each, {wall:.1f}s wall "
           f"({jax.default_backend()})")
@@ -77,15 +93,19 @@ def main(argv=None):
           f"{'eta_m':>6} {'eta_a':>6} {'u_exit[km/s]':>12}")
     for i in range(VD.size):
         u_exit = out["ui"][i, 0, -2] / 1e3
+        flag = "  <- FAILED (physicality guards; NaN-masked by the PEM)" if bad[i] else ""
         print(f"{VD.ravel()[i]:6.0f} {MD.ravel()[i]:9.2e} {out['thrust'][i]*1e3:8.1f} "
               f"{out['discharge_current'][i]:7.2f} {out['ion_current'][i]:8.2f} "
-              f"{out['mass_eff'][i]:6.2f} {out['anode_eff'][i]:6.2f} {u_exit:12.1f}")
+              f"{out['mass_eff'][i]:6.2f} {out['anode_eff'][i]:6.2f} {u_exit:12.1f}{flag}")
 
-    # trend assertions (soft): thrust increases with V_d and with mdot
-    T = out["thrust"].reshape(VD.shape)
-    assert np.all(np.diff(T[:, 1]) > -5e-3), "thrust should broadly increase with V_d"
-    assert np.all(T[:, 1] > T[:, 0]), "thrust should increase with mass flow"
-    print("# trend checks passed")
+    # trend assertions over the physical rows: thrust increases with V_d / mdot
+    T = np.where(bad, np.nan, out["thrust"]).reshape(VD.shape)
+    col = T[:, 1][np.isfinite(T[:, 1])]
+    assert np.all(np.diff(col) > -5e-3), "thrust should broadly increase with V_d"
+    both = np.isfinite(T[:, 1]) & np.isfinite(T[:, 0])
+    assert np.all(T[both, 1] > T[both, 0]), "thrust should increase with mass flow"
+    print(f"# trend checks passed over {int(np.isfinite(T).sum())}/{T.size} physical points"
+          + (f" ({int(bad.sum())} masked)" if bad.any() else ""))
 
 
 if __name__ == "__main__":
