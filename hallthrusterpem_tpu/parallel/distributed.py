@@ -75,12 +75,20 @@ def initialize(
         _initialized = True
         return
 
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-        local_device_ids=local_device_ids,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            local_device_ids=local_device_ids,
+        )
+    except (ValueError, RuntimeError):
+        if coordinator_address is not None or num_processes is not None:
+            raise  # the caller asked for a specific cluster — surface the failure
+        # cluster-ish env vars without a resolvable coordinator (e.g. a
+        # single-worker TPU VM that still sets TPU_WORKER_HOSTNAMES):
+        # degrade to the single-process path
+        pass
     _initialized = True
 
 

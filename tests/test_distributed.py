@@ -105,3 +105,24 @@ def test_two_process_mesh(tmp_path):
     # both hosts must see the SAME gathered global result
     sums = [float(o.split("_OK")[1].split()[0]) for o in outs]
     assert np.isclose(sums[0], sums[1], rtol=1e-6), sums
+
+
+def test_single_process_fallback():
+    """Without any cluster environment, initialize() is a no-op and the helpers
+    work on the local device set (the common laptop/single-host path)."""
+    import numpy as np
+
+    from hallthrusterpem_tpu.parallel import distributed as dist
+
+    dist.initialize()  # no cluster env vars in the test environment -> no-op
+    import jax
+
+    assert jax.process_count() == 1
+    mesh = dist.global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    local = dist.process_local_batch({"x": np.arange(8.0)}, mesh)
+    out = jax.jit(lambda t: t["x"] * 3, out_shardings=dist.batch_sharding(mesh))(local)
+    got = dist.gather_to_host(out)
+    assert np.allclose(np.asarray(got), np.arange(8.0) * 3)
+    sl = dist.local_batch_slice(8)
+    assert (sl.start, sl.stop) == (0, 8)

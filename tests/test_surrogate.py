@@ -315,3 +315,40 @@ def test_all_failing_alpha_never_promoted():
     system.fit(max_iter=8, num_refine=64, verbose=False)
     alphas = {k[:1] for k in comp.surrogate.active}
     assert (1,) not in alphas
+
+
+def test_training_cache_roundtrip(tmp_path):
+    """fit(cache_interval=N) persists model-eval caches; load_training_cache
+    restores them so a restarted fit makes no new model calls (round-2: this
+    kwarg was previously accepted-but-ignored)."""
+    import numpy as np
+    from hallthrusterpem_tpu.core.system import System
+    from hallthrusterpem_tpu.core.component import Component
+    from hallthrusterpem_tpu.core.variables import Variable
+
+    calls = [0]
+
+    def model(inputs, model_fidelity=None, **kw):
+        x = np.asarray(inputs["x"])
+        calls[0] += len(x)
+        return {"y": np.sin(3 * x)}
+
+    def build():
+        comp = Component(name="c", model=model, vectorized=True,
+                         inputs=[Variable(name="x", domain=(0, 1), nominal=0.5)],
+                         outputs=[Variable(name="y")], data_fidelity=(3,))
+        return comp, System(name="s", components=[comp])
+
+    comp, system = build()
+    system.root_dir = str(tmp_path)
+    system.fit(max_iter=4, num_refine=32, cache_interval=2, verbose=False)
+    cache = tmp_path / "cache" / "s_training_cache.pkl"
+    assert cache.exists()
+    fresh_calls = calls[0]
+
+    comp2, system2 = build()
+    n = system2.load_training_cache(cache)
+    assert n > 0
+    calls[0] = 0
+    system2.fit(max_iter=4, num_refine=32, verbose=False)
+    assert calls[0] < fresh_calls
