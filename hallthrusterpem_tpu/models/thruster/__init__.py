@@ -100,10 +100,24 @@ def _tree_to_solver_inputs(tree: dict):
         ion_wall_losses=bool(config.get("ion_wall_losses", True)),
         solve_plume=bool(config.get("solve_plume", False)),
         apply_thrust_divergence_correction=bool(config.get("apply_thrust_divergence_correction", False)),
-        # discharge-current time traces (simulation.num_save) force the lax path;
-        # opt in via HTPEM_TRACES=1 so production batches keep the Pallas kernel
-        num_save=int(sim.get("num_save", 0)) if os.environ.get("HTPEM_TRACES") == "1" else 0,
+        # discharge-current time traces (the reference's simulation.num_save,
+        # pem_v0_SPT-100.yml:101) are honored directly: the K-step Pallas kernel
+        # records I_d(t) in spare accumulator lanes at full kernel speed, so the
+        # config key no longer needs an env-var opt-in. HTPEM_TRACES=0 force-disables.
+        num_save=0 if os.environ.get("HTPEM_TRACES") == "0" else int(sim.get("num_save", 0)),
     )
+    if sim.get("adaptive"):
+        # The reference config requests HallThruster.jl's adaptive timestepping
+        # (pem_v0_SPT-100.yml:93). The TPU solver integrates with a fixed
+        # CFL-consistent dt chosen from the fidelity ladder (static shapes: one
+        # compiled program per config) — same stability margin, deterministic cost.
+        import logging
+
+        logging.getLogger("hallthrusterpem_tpu").info(
+            "simulation.adaptive=true: using fixed CFL-consistent dt=%.3g s "
+            "(adaptive stepping is subsumed by the CFL bound on TPU; "
+            "set simulation.dt to override)", cfg.dt,
+        )
 
     overrides = {}
 
@@ -126,6 +140,8 @@ def _tree_to_solver_inputs(tree: dict):
     grab("l_t", "transition_length")
     grab("f_n", "neutral_ingestion_multiplier")
     grab("B_hat", "magnetic_field_scale")
+    grab("circuit_R", "circuit", "R")
+    grab("circuit_L", "circuit", "L")
     wl = config.get("wall_loss_model", {}) or {}
     if wl.get("loss_scale") is not None:
         overrides["c_w"] = wl["loss_scale"]

@@ -173,6 +173,8 @@ PARAM_NAMES = (
     "c_w",        # wall loss scale [-]
     "B_hat",      # magnetic field scale [-]
     "tan_div",    # plume stream-tube expansion slope (solve_plume cone tangent) [-]
+    "circuit_R",  # cathode-line series resistance [Ohm] (facility filter unit)
+    "circuit_L",  # cathode-line series inductance [H]
 )
 
 _DEFAULTS = {
@@ -197,6 +199,15 @@ _DEFAULTS = {
     "c_w": 1.0,
     "B_hat": 1.0,
     "tan_div": 0.364,  # tan(20 deg), SPT-100-class far-field divergence
+    # Discharge-circuit filter (the cathode-line RL filter unit every Hall-thruster
+    # test facility inserts between the power supply and the thruster; e.g. the
+    # SPT-100/PPS-1350 qualification harness). The plasma sees
+    # V_t = V_d - R I - L dI/dt instead of an ideal voltage source: breathing-mode
+    # reignition current spikes are throttled by the inductor and the unphysical
+    # high-current attractors are starved by the resistive drop. Defaults are off
+    # (ideal source) for parity with HallThruster.jl's voltage-driven model.
+    "circuit_R": 0.0,
+    "circuit_L": 0.0,
 }
 
 

@@ -41,6 +41,9 @@ PEM_TO_JULIA: dict = {
     "anom_barrier_scale": ["config", "anom_model", "model", "barrier_scale"],
     "anom_shift_length": ["config", "anom_model", "shift_length"],
     "f_n": ["config", "neutral_ingestion_multiplier"],
+    # discharge-circuit filter (TPU-solver extension; see config._DEFAULTS)
+    "R_c": ["config", "circuit", "R"],
+    "L_c": ["config", "circuit", "L"],
     "c_w": ["config", "wall_loss_model", "loss_scale"],
     "ncharge": ["config", "ncharge"],
     "B_hat": ["config", "magnetic_field_scale"],

@@ -58,9 +58,10 @@ def tile_b_for(batch: int) -> int:
     on v5e; 64+ plateaus and risks the 16 MB scoped-VMEM limit)."""
     return 32 if batch > 16 else TILE_B
 
-# per-sample scalar slots in the packed params block
-_P_DV, _P_MDOT, _P_UN, _P_CW, _P_TECATH, _P_TANDIV = range(6)
-_N_SCALARS = 8  # padded
+# per-sample scalar slots in the packed params block (_P_RC: cathode-line series
+# resistance [Ohm]; _P_LDT: L/dt [Ohm] — the circuit filter's backward-Euler terms)
+_P_DV, _P_MDOT, _P_UN, _P_CW, _P_TECATH, _P_TANDIV, _P_RC, _P_LDT = range(8)
+_N_SCALARS = 8
 
 
 def _poly_eval(coeffs: np.ndarray, x):
@@ -119,7 +120,7 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
     inv_dt = 1.0 / dt
 
     def physics(rho_n, nE, rho_i, mom_i, nu_anom, omega_ce, dV, mdot_in, u_n, c_w, te_cath,
-                tan_div, u_i_pre=None):
+                tan_div, rc, l_dt, i_prev, u_i_pre=None):
         lane = _lane_iota(rho_n.shape)
         interior = (lane >= 1) & (lane <= NC - 2)
         in_domain = lane <= NC - 1
@@ -198,8 +199,12 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
         num_igd = (j_i * inv_enmu + gpe_ne) * interior_f
         den_igd = (inv_AR * inv_enmu * interior_f) if cfg.solve_plume else (inv_enmu * interior_f)
         num_int = jnp.sum(num_igd, axis=1, keepdims=True) * dz
-        den_int = jnp.sum(den_igd, axis=1, keepdims=True) * dz
-        j_d = (dV + num_int) / den_int
+        # discharge-circuit RL filter folded into the algebraic solve
+        # (mirrors solver.py: V_t = dV - R I - L dI/dt, backward-Euler in I)
+        i_prev = jnp.clip(i_prev, -1e4, 1e4)
+        den_int = jnp.sum(den_igd, axis=1, keepdims=True) * dz + (rc + l_dt) * A_ch
+        num_cir = num_int + l_dt * i_prev
+        j_d = (dV + num_cir) / den_int
         if cfg.anode_sheath:
             # electron-repelling anode sheath (mirrors solver.py): per-row scalars
             ne1 = ne[:, 1][:, None]
@@ -208,7 +213,7 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
             j_e_th = _E * ne1 * jnp.sqrt(_E * Te1 / (2.0 * np.pi * _ME))
             j_e_req = jnp.maximum(j_d - j_i1, 1e-6 * j_e_th)
             phi_s = jnp.clip(Te1 * jnp.log(j_e_th / j_e_req), 0.0, 0.5 * jnp.abs(dV))
-            j_d = (dV - phi_s + num_int) / den_int
+            j_d = (dV - phi_s + num_cir) / den_int
         j_d_loc = j_d * inv_AR if cfg.solve_plume else j_d  # local circuit current density
         E_z = (j_d_loc - j_i) * inv_enmu - gpe_ne
 
@@ -446,7 +451,10 @@ def n_state_for(cfg: SolverConfig) -> int:
 
 
 #: scalar-block slots handed to make_physics, in signature order
-_SCAL_SLOTS = (_P_DV, _P_MDOT, _P_UN, _P_CW, _P_TECATH, _P_TANDIV)
+_SCAL_SLOTS = (_P_DV, _P_MDOT, _P_UN, _P_CW, _P_TECATH, _P_TANDIV, _P_RC, _P_LDT)
+#: one-step-kernel slot for the circuit-filter current state (the outer step body
+#: rewrites it each launch; the K-step kernel rides it in the sacc block instead)
+_P_ICIR = 8
 
 
 def build_step_kernel(cfg: SolverConfig, interpret: bool = False, tile_b: int = TILE_B):
@@ -469,9 +477,10 @@ def build_step_kernel(cfg: SolverConfig, interpret: bool = False, tile_b: int = 
         rho_i = tuple(state_refs[2 + 2 * z][:, :] for z in range(Z))
         mom_i = tuple(state_refs[3 + 2 * z][:, :] for z in range(Z))
         scal = tuple(scal_ref[:, s][:, None] for s in _SCAL_SLOTS)
+        i_prev = scal_ref[:, _P_ICIR][:, None]
 
         (rho_n_new, nE_new, rho_new, mom_new), (j_d, Te, ne, E_z, nn, qs_t, qs_f) = physics(
-            rho_n, nE, rho_i, mom_i, nu_anom_ref[:, :], omega_ref[:, :], *scal
+            rho_n, nE, rho_i, mom_i, nu_anom_ref[:, :], omega_ref[:, :], *scal, i_prev
         )
 
         out_refs[0][:, :] = rho_n_new
@@ -530,12 +539,13 @@ def build_step_kernel(cfg: SolverConfig, interpret: bool = False, tile_b: int = 
     return step
 
 
-# accumulator scalar slots (lanes of the packed (TILE_B, 128) accumulator block)
-_A_THRUST, _A_ID, _A_ID2, _A_IB0, _A_MDOT, _A_UEXIT, _A_FAILED = range(7)
+# accumulator scalar slots (lanes of the packed (TILE_B, 128) accumulator block).
+# _A_ICIR carries the circuit-filter current state across K-blocks.
+_A_THRUST, _A_ID, _A_ID2, _A_IB0, _A_MDOT, _A_UEXIT, _A_FAILED, _A_ICIR = range(8)
 #: first of the per-inner-step I_d trace lanes (SET each step when tracing —
-#: lanes 7..7+K-1 hold the CURRENT block's full-resolution discharge-current
-#: history, emitted per block by the outer scan; requires inner_steps <= 121)
-_A_TRACE0 = 7
+#: lanes 8..8+K-1 hold the CURRENT block's full-resolution discharge-current
+#: history, emitted per block by the outer scan; requires inner_steps <= 120)
+_A_TRACE0 = 8
 
 
 def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool = False,
@@ -580,9 +590,9 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
         slot = lambda s: (lane128 == s).astype(jnp.float32)
 
         def body(k, carry):
-            (rho_n, nE, rho_i, mom_i, u_i, prof, sacc) = carry
+            (rho_n, nE, rho_i, mom_i, u_i, prof, sacc, icir) = carry
             (rho_n, nE, rho_i, mom_i), (j_d, Te, ne, E_z, nn, qs_t, qs_f) = physics(
-                rho_n, nE, rho_i, mom_i, nu_anom, omega, *scal, u_i_pre=u_i
+                rho_n, nE, rho_i, mom_i, nu_anom, omega, *scal, icir, u_i_pre=u_i
             )
             # post-step velocities: shared by the profile/thrust accumulators here
             # and by the next iteration's physics (single divide per step)
@@ -628,11 +638,13 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
                 jnp.maximum(sacc, failed_flag[:, None]),
                 sacc + contrib,
             )
+            # circuit-filter state: persist this step's current for the next block
+            sacc = jnp.where(lane128 == _A_ICIR, I_d[:, None], sacc)
             if trace:
                 # full-resolution I_d(t): SET lane _A_TRACE0 + k to this step's
                 # current (overwrites the previous block's stale value)
                 sacc = jnp.where(lane128 == _A_TRACE0 + k, I_d[:, None], sacc)
-            return (rho_n, nE, rho_i, mom_i, u_post, tuple(new_prof), sacc)
+            return (rho_n, nE, rho_i, mom_i, u_post, tuple(new_prof), sacc, I_d[:, None])
 
         # one scrub per K-block (identity for healthy states; physics runs lean).
         # A blow-up landing on the LAST step of the previous block would be
@@ -663,8 +675,9 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
             tuple(m / jnp.maximum(r, rho_floor) for m, r in zip(mi0, ri0)),
             tuple(prof_refs[j][:, :] for j in range(n_prof)),
             sacc0,
+            sacc0[:, _A_ICIR][:, None],
         )
-        rho_n, nE, rho_i, mom_i, _u, prof, sacc = jax.lax.fori_loop(
+        rho_n, nE, rho_i, mom_i, _u, prof, sacc, _icir = jax.lax.fori_loop(
             0, inner_steps, body, carry0
         )
 
@@ -774,8 +787,12 @@ def simulate_batch_pallas_multi(
 
     consts = _pack_consts(params, base_B, cfg)
     state, _accum0, _i, _f = _pallas_init(params, base_B, cfg)
+    state = dict(state)
+    state.pop("icir", None)  # the K-step kernel rides the filter state in sacc
     prof = [jnp.zeros((B, lanes_for(cfg)), jnp.float32) for _ in range(n_prof)]
-    sacc = jnp.zeros((B, 128), jnp.float32)
+    sacc = jnp.zeros((B, 128), jnp.float32).at[:, _A_ICIR].set(
+        (_E / cfg.mi) * params["mdot_a"]
+    )
     i0 = jnp.zeros((), jnp.int32)
 
     total_calls = -(-cfg.num_steps // inner_steps)
@@ -845,6 +862,11 @@ def _pack_consts(params: dict, base_B, cfg: SolverConfig):
     scalars = scalars.at[:, _P_CW].set(params["c_w"])
     scalars = scalars.at[:, _P_TECATH].set(params["T_e_cath"])
     scalars = scalars.at[:, _P_TANDIV].set(params.get("tan_div", jnp.full((B,), 0.364)))
+    zeros = jnp.zeros((B,), jnp.float32)
+    scalars = scalars.at[:, _P_RC].set(params.get("circuit_R", zeros))
+    scalars = scalars.at[:, _P_LDT].set(params.get("circuit_L", zeros) * (1.0 / cfg.dt))
+    # circuit-filter current seed (solver.py's I_prev0): fully-singly-ionized scale
+    scalars = scalars.at[:, _P_ICIR].set((_E / cfg.mi) * params["mdot_a"])
     return {"nu_anom": padp(nu_anom), "omega_ce": padp(omega), "scalars": scalars}
 
 
@@ -887,6 +909,7 @@ def _initial_state(params: dict, cfg: SolverConfig) -> dict:
         "nE": padp(nE0.astype(jnp.float32)),
         "rho_i": rho_i0,
         "mom_i": mom_i0,
+        "icir": (_E / mi) * params["mdot_a"],
     }
 
 
@@ -904,7 +927,13 @@ def make_batch_step(cfg: SolverConfig, consts: dict, interpret: bool = False,
 
     def body(carry, _):
         state, accum, i, failed = carry
-        state, ex = step(state, consts)
+        # circuit-filter state rides a scalar slot rewritten each launch (the
+        # K-step kernel carries it in the sacc block instead)
+        consts_k = dict(consts)
+        consts_k["scalars"] = consts["scalars"].at[:, _P_ICIR].set(state["icir"])
+        new_state, ex = step(state, consts_k)
+        new_state["icir"] = ex["j_d"] * A_ch
+        state = new_state
 
         B = ex["j_d"].shape[0]
         u_exit = []

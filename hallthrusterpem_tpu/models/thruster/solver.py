@@ -59,17 +59,27 @@ def _pressure_shift_m(p, cfg: SolverConfig, z_ch: float):
     """Axial shift (m) of the anomalous-transport profile vs background pressure.
 
     LogisticPressureShift (reference ``pem_v0_SPT-100.yml:76-85``): parameters
-    ``shift_z0`` (upstream limit, channel lengths), ``shift_dz`` (total swing,
-    channel lengths), ``shift_pstar`` (Torr), ``shift_alpha`` (steepness); the
-    profile moves upstream (toward the anode) as pressure rises.
+    ``shift_z0`` (channel lengths), ``shift_dz`` (logistic swing, channel
+    lengths), ``shift_pstar`` (Torr), ``shift_alpha`` (steepness). The UPSTREAM
+    displacement is ``(z0 + dz * sigmoid(alpha (P/P* - 1))) L_ch`` — the
+    experimentally observed direction (LIF: the acceleration region moves
+    upstream, into the channel, as facility pressure rises; e.g.
+    MacDonald-Tenenbaum 2019). At vacuum the displacement tends to ``z0``
+    (nominal -0.031: the profile sits ~0.8 mm DOWNSTREAM of its unshifted
+    position); at high pressure it tends to ``z0 + dz`` upstream.
+
+    Round-2 note: the previous implementation applied ``z0 + dz (1 - sig)`` as a
+    DOWNSTREAM shift — backwards in pressure direction, parking the transport
+    barrier ~9 mm into the plume at the pem_v0 nominal and detaching the whole
+    ionization front from the channel (docs/validation.md round-3 study).
     """
     if cfg.pressure_shift == "none":
         return jnp.zeros(())
     P = p["P_b"]  # Torr
     sig = jax.nn.sigmoid(p["shift_alpha"] * (P / p["shift_pstar"] - 1.0))
     if cfg.pressure_shift == "SimpleLogisticShift":
-        return p["shift_dz"] * (1.0 - sig) * z_ch
-    return (p["shift_z0"] + p["shift_dz"] * (1.0 - sig)) * z_ch
+        return -p["shift_dz"] * sig * z_ch
+    return -(p["shift_z0"] + p["shift_dz"] * sig) * z_ch
 
 
 def wall_energy_loss_rate(Te, ne, in_channel, c_w, cfg: SolverConfig, xp=jnp):
@@ -186,7 +196,11 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
     Te0 = 3.0 + 0.04 * jnp.maximum(dV, 50.0) * jnp.exp(-(((z - z_ch) / (0.4 * z_ch)) ** 2))
     nE0 = 1.5 * ne0 * Te0
 
-    state0 = (rho_n0, rho_i0, mom_i0, nE0)
+    # seed the filter state at the fully-singly-ionized current scale so an RL
+    # line does not force a cold start (the transient is outside the averaging
+    # window either way)
+    I_prev0 = jnp.asarray(_E / mi, f) * p["mdot_a"]
+    state0 = (rho_n0, rho_i0, mom_i0, nE0, I_prev0)
 
     # ---------------------------------------------------------------- plume geometry
     # Static quasi-1D expansion cone (see SolverConfig.solve_plume): per-sample,
@@ -221,8 +235,15 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
     rho_max = jnp.asarray(1e21 * mi, f)  # 1e21 m^-3 ceiling
     u_max = jnp.asarray(3e5, f)  # m/s ceiling
 
+    # discharge-circuit filter terms (see config._DEFAULTS["circuit_R"]): with a
+    # series RL cathode line, V_t = dV - R I - L dI/dt and backward-Euler in I
+    # folds into the algebraic Ohm solve as an extra den term (R + L/dt) A_ch and
+    # an extra num term (L/dt) I_prev — unconditionally stable, one carry scalar.
+    L_dt = p["circuit_L"] / dt
+    RL_den = (p["circuit_R"] + L_dt) * A_ch
+
     def step(carry, _):
-        (rho_n, rho_i, mom_i, nE), accum, i, failed = carry
+        (rho_n, rho_i, mom_i, nE, I_prev), accum, i, failed = carry
 
         # ---- detect blow-ups, then sanitize state (NaN/Inf -> safe in-range values)
         finite = (
@@ -238,6 +259,7 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
                          rho_floor, rho_max)
         mom_i = jnp.clip(jnp.nan_to_num(mom_i), -rho_i * u_max, rho_i * u_max)
         nE = jnp.clip(jnp.nan_to_num(nE, nan=1.0, posinf=1e22, neginf=1.0), 1.0, 1e23)
+        I_prev = jnp.clip(jnp.nan_to_num(I_prev), -1e4, 1e4)
 
         # ---- plasma properties
         ni = rho_i / mi
@@ -267,8 +289,9 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
         den_igd = inv_AR / enmu
         # midpoint integration over interior cells
         num_int = jnp.sum(num_igd[1:-1]) * dz
-        den_int = jnp.sum(den_igd[1:-1]) * dz
-        j_d = (dV + num_int) / den_int
+        den_int = jnp.sum(den_igd[1:-1]) * dz + RL_den
+        num_cir = num_int + L_dt * I_prev
+        j_d = (dV + num_cir) / den_int
         if cfg.anode_sheath:
             # electron-repelling anode sheath: the sheath drop phi_s adjusts so the
             # electron flux reaching the anode matches the circuit current; one
@@ -277,7 +300,8 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
             j_e_th = _E * ne[1] * jnp.sqrt(_E * Te[1] / (2.0 * jnp.pi * _ME))
             j_e_req = jnp.maximum(j_d - j_i[1], 1e-6 * j_e_th)
             phi_s = jnp.clip(Te[1] * jnp.log(j_e_th / j_e_req), 0.0, 0.5 * jnp.abs(dV))
-            j_d = (dV - phi_s + num_int) / den_int
+            j_d = (dV - phi_s + num_cir) / den_int
+        I_new = j_d * A_ch
         j_d_loc = j_d * inv_AR  # local circuit current density
         E_z = (j_d_loc - j_i) / enmu - grad_pe / ne
         u_e = -(j_d_loc - j_i) / (_E * ne)
@@ -448,7 +472,7 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
             # axial projection of the diverging beam (reference config surface
             # ``apply_thrust_divergence_correction``): cos of the cone half-angle
             thrust = thrust * cos_div
-        I_d = j_d * A_ch
+        I_d = I_new
         I_B0 = A_ex * _E * jnp.sum(zq * rho_i_new[:, exit_ix] / mi * u_exit)
         mdot_ion = A_ex * jnp.sum(mom_i_new[:, exit_ix])
 
@@ -470,7 +494,7 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
             "nn": accum["nn"] + w_avg * nn,
         }
         ys = I_d if cfg.num_save > 0 else None
-        return ((rho_n_new, rho_i_new, mom_i_new, nE_new), new_accum, i + 1, failed), ys
+        return ((rho_n_new, rho_i_new, mom_i_new, nE_new, I_new), new_accum, i + 1, failed), ys
 
     accum0 = {
         "thrust": jnp.zeros((), f),

@@ -34,6 +34,12 @@ parser.add_argument("--c-w", type=float, default=1.0)
 parser.add_argument("--cpu", action="store_true")
 parser.add_argument("--plume", action="store_true", help="solve_plume + divergence correction")
 parser.add_argument("--shift", action="store_true", help="LogisticPressureShift (reference z0=-0.031)")
+parser.add_argument("--circuit-r", type=float, default=0.0, help="cathode-line resistance [Ohm]")
+parser.add_argument("--circuit-l", type=float, default=0.0, help="cathode-line inductance [H]")
+parser.add_argument("--implicit-inelastic", action="store_true")
+parser.add_argument("--shift-dz", type=float, default=0.2)
+parser.add_argument("--te-cath", type=float, default=3.0)
+parser.add_argument("--l-t", type=float, default=0.003)
 parser.add_argument("--npz", type=str, default="", help="save snapshots to this .npz")
 
 
@@ -57,12 +63,14 @@ def main(argv=None):
         duration=args.duration, average_start_time=args.duration / 2,
         solve_plume=args.plume, apply_thrust_divergence_correction=args.plume,
         pressure_shift="LogisticPressureShift" if args.shift else "none",
+        implicit_inelastic=args.implicit_inelastic,
     )
     base_B = jnp.asarray(_load_bfield(device, cfg), jnp.float32)
     p = make_params({
         "V_d": args.vd, "mdot_a": args.mdot, "V_cc": 30.0, "P_b": 1e-5,
         "u_n": args.u_n, "a1": args.a1, "a2": args.a2, "c_w": args.c_w,
-        "shift_z0": -0.03104,
+        "shift_z0": -0.03104, "shift_dz": args.shift_dz, "T_e_cath": args.te_cath,
+        "l_t": args.l_t, "circuit_R": args.circuit_r, "circuit_L": args.circuit_l,
     })
     p = {k: jnp.asarray(v[0] if getattr(v, "ndim", 0) else v, jnp.float32) for k, v in p.items()}
 
@@ -78,7 +86,7 @@ def main(argv=None):
             return c2, None
 
         carry, _ = jax.lax.scan(inner, carry, None, length=every)
-        (rho_n, rho_i, mom_i, nE), accum, i, failed = carry
+        (rho_n, rho_i, mom_i, nE, I_cir), accum, i, failed = carry
         ni = rho_i / mi
         ne = jnp.sum(jnp.arange(1, cfg.ncharge + 1, dtype=jnp.float32)[:, None] * ni, axis=0)
         Te = (2.0 / 3.0) * nE / jnp.maximum(ne, 1e12)
@@ -90,7 +98,7 @@ def main(argv=None):
                                                mom_i[:, ex] / jnp.maximum(rho_i[:, ex], 1e10 * mi))
         snap = {
             "nn": rho_n / mi, "ne": ne, "Te": Te, "u1": u1,
-            "I_d": accum["I_d"], "I_B": I_B,
+            "I_d": I_cir, "I_B": I_B,
             "rho_i_ex": rho_i[:, ex] / mi,
         }
         return carry, snap
