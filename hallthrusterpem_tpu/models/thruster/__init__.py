@@ -34,6 +34,8 @@ from hallthrusterpem_tpu.ops.interp import interp1d
 #: (solver_backend falls back to the lax path for solve_plume configs until the
 #: kernel port lands)
 PALLAS_SOLVE_PLUME = True
+#: whether the fused Pallas kernel implements the two-group neutral model
+PALLAS_NEUTRAL_GROUPS = False
 
 __all__ = [
     "hallthruster_jl",
@@ -57,9 +59,12 @@ def _load_bfield(thr: dict, cfg: SolverConfig) -> np.ndarray:
         zb, Bb = raw[:, 0], raw[:, 1]
         return np.asarray(interp1d(z_cells, zb, Bb))
     # fallback: representative Gaussian profile peaked at the channel exit
+    # (SPT-100-class: ~200 G peak, ~12 mm decay into the plume — published
+    # SPT-100 maps place the peak radial field at 160-230 G with the field
+    # falling to <25% within ~2 cm of the exit)
     z_ch = cfg.geometry.channel_length
-    s = np.where(z_cells < z_ch, 0.011, 0.018)
-    return 0.016 * np.exp(-0.5 * ((z_cells - z_ch) / s) ** 2)
+    s = np.where(z_cells < z_ch, 0.011, 0.012)
+    return 0.020 * np.exp(-0.5 * ((z_cells - z_ch) / s) ** 2)
 
 
 def _tree_to_solver_inputs(tree: dict):
@@ -146,7 +151,8 @@ def _tree_to_solver_inputs(tree: dict):
     if wl.get("loss_scale") is not None:
         overrides["c_w"] = wl["loss_scale"]
     for src, dst in (("c1", "a1"), ("c2", "a2"), ("hall_min", "hall_min"),
-                     ("hall_max", "hall_max"), ("center", "center"), ("width", "width")):
+                     ("hall_max", "hall_max"), ("center", "center"), ("width", "width"),
+                     ("barrier_scale", "anom_depth")):
         if inner.get(src) is not None:
             overrides[dst] = inner[src]
     for src, dst in (("dz", "shift_dz"), ("z0", "shift_z0"), ("pstar", "shift_pstar"),
@@ -176,6 +182,8 @@ def solver_backend(cfg: SolverConfig) -> tuple[str, int]:
         choice = "pallas" if (on_tpu and cfg.nc <= 254) else "lax"
     if cfg.solve_plume and choice == "pallas" and not PALLAS_SOLVE_PLUME:
         choice = "lax"  # never route plume physics to a kernel that lacks it
+    if cfg.neutral_groups > 1 and choice == "pallas" and not PALLAS_NEUTRAL_GROUPS:
+        choice = "lax"  # two-group neutrals not yet ported to the fused kernel
     chunk = int(os.environ.get("HTPEM_CHUNK_STEPS", "2000" if on_tpu else "0"))
     return choice, chunk
 

@@ -53,11 +53,12 @@ class SolverConfig:
     ion_wall_losses: bool = True
     electron_wall_losses: bool = True
     #: electron-wall MOMENTUM collisionality as a fraction of the Landmark 1e7 s^-1
-    #: base frequency: full Landmark (1.0) over-predicts discharge current
-    #: ~50% vs published SPT-100 data; 0.5 balances nominal-point accuracy
-    #: (T~=84 mN at 300 V / 5.16 mg/s) against low-power-mode stability
-    #: (see scripts/validate_solver.py)
-    wall_momentum_scale: float = 0.5
+    #: base frequency. Round-3 default 0.0: near-wall momentum transfer is
+    #: already absorbed by the calibrated anomalous profile — a separate 0.5e7
+    #: term added ~30% extra cross-field transport exactly in the barrier and
+    #: was a large part of the round-2 discharge-current excess
+    #: (docs/validation.md round-3 study).
+    wall_momentum_scale: float = 0.0
     #: electron-wall ENERGY loss as a multiple of the Landmark 1e7 s^-1 base.
     #: 1.0 = faithful Landmark. A x2 scale stabilizes the deep breathing cycle at
     #: SPT-100 nominal (depth 13 -> 1.2, I_d -> 4.99 A) but quenches low-flow
@@ -110,14 +111,47 @@ class SolverConfig:
     #: at low Te (exp(-E/Te) thresholds), and treating it explicitly
     #: under-damps reignition spikes of the breathing cycle. Measured at
     #: fidelity (2,2): tames the nominal point (300V/5.16mg I_d 8.4 -> 5.6 A)
-    #: but makes the cold-dense anode-starved attractor reachable at 250 V —
-    #: OFF by default until that attractor has its own fix (volume
-    #: recombination is the missing physics that forbids it).
-    implicit_inelastic: bool = False
+    #: but makes the cold-dense anode-starved attractor reachable at 250 V with
+    #: round-2 physics. Round-3 default ON: with the corrected pressure-shift
+    #: direction and the three-region anomalous profile the nominal map is
+    #: steady and the attractor basin is no longer adjacent (volume
+    #: recombination was measured NOT to be the forbidding physics — rates are
+    #: ~4 orders below transit at the attractor's parameters).
+    implicit_inelastic: bool = True
     #: number of evenly-spaced time-series snapshots of the discharge current to
     #: record (the reference's ``simulation.num_save``; 0 = averages only).
     #: Diagnostics feature of the lax path (the Pallas path returns averages).
     num_save: int = 0
+    #: neutral velocity-space quadrature: 1 = single fluid at u_n (HallThruster.jl
+    #: model), 2 = two-group kinetic-tail model. Monokinetic neutrals make the
+    #: breathing-mode refill front artificially sharp — the real injected flux is
+    #: a drifting half-Maxwellian (T_w ~ 500 K, v_th ~ 2 u_n at the pem_v0
+    #: calibrated u_n ~ 141 m/s) whose fast tail refills the ionization zone
+    #: early and reignites the discharge gently (kinetic-neutral breathing
+    #: studies, e.g. Hara et al.). The two groups ride at
+    #: ``slow_neutral_ratio * u_n`` and ``fast_neutral_ratio * u_n`` with flux
+    #: fractions (1-f, f); wall-recombined and anode-recycled neutrals re-enter
+    #: the slow group (desorbed at wall temperature).
+    neutral_groups: int = 1
+    fast_neutral_fraction: float = 0.25
+    fast_neutral_ratio: float = 2.2
+    slow_neutral_ratio: float = 0.6
+    #: 1-sigma axial width [m] of the transport-barrier well in the anomalous
+    #: profile (see solver.anomalous_profile; 0 disables). Applies to the
+    #: TwoZoneBohm family; GaussianBohm expresses its own well.
+    anom_barrier_width: float = 2.5e-3
+    #: near-anode anomalous collisionality plateau (dimensionless alpha; 0
+    #: disables) with logistic roll-off at ``anode_edge_frac * z_ch`` over
+    #: ``anode_edge_width`` [m] — see solver.anomalous_profile
+    anode_alpha: float = 0.03
+    anode_edge_frac: float = 0.82
+    anode_edge_width: float = 1.5e-3
+    #: fraction of wall-recombined ions returned to the channel neutral flow.
+    #: A 1-D closure for radial neutral escape: neutrals desorbed near the exit
+    #: plane partly leave through the channel mouth without re-ionizing, which
+    #: is what keeps measured anode mass utilization at ~0.90 (a pure 1-D
+    #: recycle-everything model re-ionizes the lot and drives eta_m -> 1).
+    wall_recycling: float = 0.93
     dtype: str = "float32"
 
     @property
@@ -169,6 +203,7 @@ PARAM_NAMES = (
     "shift_z0",   # pressure-shift upstream limit [channel lengths]
     "shift_pstar",  # pressure-shift turning pressure [Torr]
     "shift_alpha",  # pressure-shift logistic steepness [-]
+    "anom_depth",   # transport-barrier well depth at the B-peak (0..1) [-]
     "f_n",        # neutral ingestion multiplier [-]
     "c_w",        # wall loss scale [-]
     "B_hat",      # magnetic field scale [-]
@@ -195,6 +230,7 @@ _DEFAULTS = {
     "shift_z0": 0.0,
     "shift_pstar": 45.0e-6,
     "shift_alpha": 15.0,
+    "anom_depth": 0.98,
     "f_n": 1.0,
     "c_w": 1.0,
     "B_hat": 1.0,

@@ -36,6 +36,7 @@ from hallthrusterpem_tpu.models.thruster.rates import (
     build_reactions,
     excitation_log_poly,
 )
+from hallthrusterpem_tpu.models.thruster.solver import anomalous_profile, wall_energy_loss_rate
 
 _E = FUNDAMENTAL_CHARGE
 _ME = ELECTRON_MASS
@@ -199,12 +200,13 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
         num_igd = (j_i * inv_enmu + gpe_ne) * interior_f
         den_igd = (inv_AR * inv_enmu * interior_f) if cfg.solve_plume else (inv_enmu * interior_f)
         num_int = jnp.sum(num_igd, axis=1, keepdims=True) * dz
-        # discharge-circuit RL filter folded into the algebraic solve
-        # (mirrors solver.py: V_t = dV - R I - L dI/dt, backward-Euler in I)
+        # discharge-circuit RL filter in the float32-safe INCREMENTAL form
+        # (mirrors solver.py: j = j_prev + residual / (den + (R + L/dt) A_ch))
         i_prev = jnp.clip(i_prev, -1e4, 1e4)
-        den_int = jnp.sum(den_igd, axis=1, keepdims=True) * dz + (rc + l_dt) * A_ch
-        num_cir = num_int + l_dt * i_prev
-        j_d = (dV + num_cir) / den_int
+        den_pl = jnp.sum(den_igd, axis=1, keepdims=True) * dz + rc * A_ch
+        den_all = den_pl + l_dt * A_ch
+        j_prev = i_prev * (1.0 / A_ch)
+        j_d = j_prev + (dV + num_int - j_prev * den_pl) / den_all
         if cfg.anode_sheath:
             # electron-repelling anode sheath (mirrors solver.py): per-row scalars
             ne1 = ne[:, 1][:, None]
@@ -213,7 +215,7 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
             j_e_th = _E * ne1 * jnp.sqrt(_E * Te1 / (2.0 * np.pi * _ME))
             j_e_req = jnp.maximum(j_d - j_i1, 1e-6 * j_e_th)
             phi_s = jnp.clip(Te1 * jnp.log(j_e_th / j_e_req), 0.0, 0.5 * jnp.abs(dV))
-            j_d = (dV - phi_s + num_cir) / den_int
+            j_d = j_prev + (dV - phi_s + num_int - j_prev * den_pl) / den_all
         j_d_loc = j_d * inv_AR if cfg.solve_plume else j_d  # local circuit current density
         E_z = (j_d_loc - j_i) * inv_enmu - gpe_ne
 
@@ -321,7 +323,9 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
                 nu_iw = (0.6 * np.sqrt(zq[z]) / gap) * sqrt_te * in_channel
                 d_rho[z] = d_rho[z] - nu_iw * rho_i[z]
                 d_mom[z] = d_mom[z] - nu_iw * mom_i[z]
-                d_rho_n = d_rho_n + nu_iw * rho_i[z]
+                # wall_recycling < 1: the non-returned fraction escapes radially
+                # (mirrors solver.py's 1-D neutral-escape closure)
+                d_rho_n = d_rho_n + cfg.wall_recycling * (nu_iw * rho_i[z])
 
         upd = lambda base, flux, src: base + (-dt) * ddz(flux) * interior_f + dt * src * interior_f
         rho_n_new = jnp.maximum(upd(rho_n_b, Fn, d_rho_n), rho_floor)
@@ -340,8 +344,7 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
         kf = (0.5 * inv_dz) * (kap + _roll(kap, -1))
         Gp = 2.5 * jnp.maximum(G_f, 0.0)
         Gn = 2.5 * jnp.minimum(G_f, 0.0)
-        from hallthrusterpem_tpu.models.thruster.solver import wall_energy_loss_rate as _welr
-        nu_eps = cfg.electron_wall_losses * _welr(Te, ne, in_channel, c_w, cfg)
+        nu_eps = cfg.electron_wall_losses * wall_energy_loss_rate(Te, ne, in_channel, c_w, cfg)
         q_ohm = (j_d_loc - j_i) * E_z * (1.0 / _E)
 
         # row i uses faces f-=i-1 (roll +1) and f+=i; with the plume cone the
@@ -388,7 +391,6 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
         k = 1
         # levels span the coupled interior block (identity rows beyond it)
         n_levels = max(1, int(np.ceil(np.log2(max(NC, 2)))))
-        n_levels = int(os.environ.get("HTPEM_PCR_LEVELS", n_levels))  # timing-ablation knob
         for _ in range(n_levels):
             valid_m = lane >= k
             valid_p = lane < LN - k
@@ -841,7 +843,6 @@ def simulate_batch_pallas_multi(
 def _pack_consts(params: dict, base_B, cfg: SolverConfig):
     """Per-sample static-in-time profiles + packed scalar block (B, 128)."""
     from hallthrusterpem_tpu.models.thruster.config import background_neutral_ingestion_flux
-    from hallthrusterpem_tpu.models.thruster.solver import anomalous_profile
 
     B = params["V_d"].shape[0]
     z = jnp.asarray(cfg.cell_centers(), jnp.float32)

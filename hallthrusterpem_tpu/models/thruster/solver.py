@@ -60,26 +60,26 @@ def _pressure_shift_m(p, cfg: SolverConfig, z_ch: float):
 
     LogisticPressureShift (reference ``pem_v0_SPT-100.yml:76-85``): parameters
     ``shift_z0`` (channel lengths), ``shift_dz`` (logistic swing, channel
-    lengths), ``shift_pstar`` (Torr), ``shift_alpha`` (steepness). The UPSTREAM
-    displacement is ``(z0 + dz * sigmoid(alpha (P/P* - 1))) L_ch`` — the
-    experimentally observed direction (LIF: the acceleration region moves
-    upstream, into the channel, as facility pressure rises; e.g.
-    MacDonald-Tenenbaum 2019). At vacuum the displacement tends to ``z0``
-    (nominal -0.031: the profile sits ~0.8 mm DOWNSTREAM of its unshifted
-    position); at high pressure it tends to ``z0 + dz`` upstream.
+    lengths), ``shift_pstar`` (Torr), ``shift_alpha`` (steepness). The
+    DOWNSTREAM displacement is ``(z0 + dz * (1 - sigmoid(alpha (P/P* - 1)))) L_ch``:
+    at vacuum the profile sits ``(z0 + dz) L_ch`` downstream of the exit; as
+    facility pressure rises it moves UPSTREAM toward ``z0 L_ch`` — the
+    LIF-observed direction AND magnitude (bundled MacDonald-Tenenbaum 2019 data:
+    mid-acceleration at 30.2/29.0/28.2 mm for P = 1e-5/3e-5/5.5e-5 Torr; this
+    mapping with the prior-mean dz = 0.2 puts the barrier at +4.2 mm at vacuum).
 
-    Round-2 note: the previous implementation applied ``z0 + dz (1 - sig)`` as a
-    DOWNSTREAM shift — backwards in pressure direction, parking the transport
-    barrier ~9 mm into the plume at the pem_v0 nominal and detaching the whole
-    ionization front from the channel (docs/validation.md round-3 study).
+    Round-3 note: an alternative convention with the vacuum limit at ``-z0``
+    (+0.8 mm) was measured too: it yields a smoother attached channel but
+    under-predicts thrust ~5% at the pem_v0 nominal, while this mapping
+    reproduces the bundled Diamant anchors to <5% (docs/validation.md).
     """
     if cfg.pressure_shift == "none":
         return jnp.zeros(())
     P = p["P_b"]  # Torr
     sig = jax.nn.sigmoid(p["shift_alpha"] * (P / p["shift_pstar"] - 1.0))
     if cfg.pressure_shift == "SimpleLogisticShift":
-        return -p["shift_dz"] * sig * z_ch
-    return -(p["shift_z0"] + p["shift_dz"] * sig) * z_ch
+        return p["shift_dz"] * (1.0 - sig) * z_ch
+    return (p["shift_z0"] + p["shift_dz"] * (1.0 - sig)) * z_ch
 
 
 def wall_energy_loss_rate(Te, ne, in_channel, c_w, cfg: SolverConfig, xp=jnp):
@@ -119,7 +119,38 @@ def anomalous_profile(p, z, cfg: SolverConfig):
     # TwoZoneBohm with smooth transition of length l_t at the (shifted) channel exit
     z_tr = z_ch + shift
     w = 0.5 * (1.0 + jnp.tanh(2.0 * (z - z_tr) / jnp.maximum(p["l_t"], 1e-4)))
-    return p["a1"] + (p["a2"] - p["a1"]) * w
+    alpha = p["a1"] + (p["a2"] - p["a1"]) * w
+    if cfg.anom_barrier_width > 0:
+        # Transport-barrier well at the (shifted) magnetic-field peak: data-driven
+        # anomalous-collisionality inferences (e.g. Mikellides & Lopez Ortega;
+        # Jorns' ML-inferred profiles) consistently find a deep NARROW minimum at
+        # the B-peak that a flat two-zone profile cannot express — without it the
+        # axial electric field spreads over ~2x the measured width (E_peak ~2e4
+        # vs ~5e4 V/m published for SPT-100) and the electron leak across the
+        # barrier roughly doubles. Depth is a calibratable per-sample parameter
+        # (``anom_depth``); the well rides the pressure shift like the rest of
+        # the profile.
+        # The well PULLS the profile toward the floor a1*(1-depth): a pure
+        # multiplicative well saturates where the a1->a2 transition ramp overlaps
+        # the well center (the product's minimum never reaches the intended
+        # floor), whereas inferred profiles show the minimum AT the B-peak with
+        # the plume rise starting just downstream.
+        g = jnp.exp(-0.5 * ((z - z_tr) / cfg.anom_barrier_width) ** 2)
+        floor = p["a1"] * (1.0 - jnp.clip(p["anom_depth"], 0.0, 0.98))
+        alpha = alpha + g * (floor - alpha)
+    if cfg.anode_alpha > 0:
+        # Near-anode transport enhancement — the third feature of inferred
+        # anomalous profiles: collisionality rises toward the anode (the
+        # ionization region is nearly unmagnetized-conductive), keeping the
+        # plasma potential flat until the barrier so ions are born at anode
+        # potential (published SPT-100 voltage utilization ~0.85-0.9 of
+        # V_d - V_cc; a flat a1 profile drops ~80 V inside the ionization zone
+        # instead). Logistic roll-off at ``anode_edge_frac * z_ch`` so the
+        # barrier well is untouched.
+        edge = cfg.anode_edge_frac * z_ch + shift
+        roll = 0.5 * (1.0 - jnp.tanh((z - edge) / cfg.anode_edge_width))
+        alpha = alpha + cfg.anode_alpha * roll
+    return alpha
 
 
 # ======================================================================================
@@ -159,7 +190,18 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
     # anode inflow (+ facility background ingestion)
     mdot_in = p["mdot_a"] + background_neutral_ingestion_flux(p["P_b"], p["f_n"], cfg)
     u_n = jnp.maximum(p["u_n"], 10.0)
-    rho_inj = mdot_in / (A_ch * u_n)
+    # neutral velocity-space quadrature (see SolverConfig.neutral_groups): group
+    # speeds u_g = ratio * u_n and injected-flux fractions; group 0 additionally
+    # receives wall-recombined and anode-recycled neutrals
+    if cfg.neutral_groups == 2:
+        fr = cfg.fast_neutral_fraction
+        u_g = jnp.stack([cfg.slow_neutral_ratio * u_n, cfg.fast_neutral_ratio * u_n])
+        inj_frac = jnp.asarray([1.0 - fr, fr], f)
+    else:
+        u_g = u_n[None]
+        inj_frac = jnp.ones((1,), f)
+    G = cfg.neutral_groups
+    rho_inj_g = inj_frac * mdot_in / (A_ch * u_g)  # (G,)
 
     # reaction bookkeeping (static; tables as jnp constants)
     reactions = build_reactions(cfg.propellant, Z)
@@ -184,7 +226,7 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
     # start can relax into a non-physical anode-starved double layer instead.
     z_ch = cfg.geometry.channel_length
     L = cfg.domain[1] - cfg.domain[0]
-    rho_n0 = jnp.full((NC,), 1.0, f) * rho_inj
+    rho_n0 = jnp.broadcast_to(rho_inj_g[:, None], (G, NC)).astype(f)
     n_i0 = 2e17 + 1e18 * jnp.exp(-(((z - z_ch) / (0.3 * z_ch)) ** 2))
     rho_i0 = jnp.tile((n_i0 * mi)[None, :], (Z, 1)) * (0.25 ** jnp.arange(Z, dtype=f)[:, None])
     u_bohm0 = jnp.sqrt(_E * 3.0 / mi)
@@ -235,12 +277,10 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
     rho_max = jnp.asarray(1e21 * mi, f)  # 1e21 m^-3 ceiling
     u_max = jnp.asarray(3e5, f)  # m/s ceiling
 
-    # discharge-circuit filter terms (see config._DEFAULTS["circuit_R"]): with a
-    # series RL cathode line, V_t = dV - R I - L dI/dt and backward-Euler in I
-    # folds into the algebraic Ohm solve as an extra den term (R + L/dt) A_ch and
-    # an extra num term (L/dt) I_prev — unconditionally stable, one carry scalar.
+    # discharge-circuit filter term (see config._DEFAULTS["circuit_R"]): with a
+    # series RL cathode line, V_t = dV - R I - L dI/dt, backward-Euler in I —
+    # unconditionally stable, one carry scalar.
     L_dt = p["circuit_L"] / dt
-    RL_den = (p["circuit_R"] + L_dt) * A_ch
 
     def step(carry, _):
         (rho_n, rho_i, mom_i, nE, I_prev), accum, i, failed = carry
@@ -265,7 +305,10 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
         ni = rho_i / mi
         ne = jnp.maximum(jnp.sum(zq[:, None] * ni, axis=0), ne_floor)
         Te = jnp.clip((2.0 / 3.0) * nE / ne, cfg.Te_min, cfg.Te_max)
-        nn = jnp.maximum(rho_n / mi, 1e6)
+        nn_g = rho_n / mi  # (G, NC) per-group neutral densities
+        nn = jnp.maximum(jnp.sum(nn_g, axis=0), 1e6)
+        n_share = nn_g / nn  # group share of ionization consumption
+        u_n_eff = jnp.sum(n_share * u_g[:, None], axis=0)  # momentum-source speed
         u_i = mom_i / jnp.maximum(rho_i, rho_floor)
 
         # ---- collision frequencies & cross-field mobility
@@ -287,11 +330,16 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
         enmu = _E * ne * mu
         num_igd = j_i / enmu + grad_pe / ne
         den_igd = inv_AR / enmu
-        # midpoint integration over interior cells
+        # midpoint integration over interior cells. The RL filter uses the
+        # INCREMENTAL form j = j_prev + (residual)/(den + (R + L/dt) A_ch):
+        # algebraically identical to the direct backward-Euler solve but
+        # float32-safe when L/dt is many orders above the plasma impedance
+        # (the direct form loses dV in the L/dt I_prev sum).
         num_int = jnp.sum(num_igd[1:-1]) * dz
-        den_int = jnp.sum(den_igd[1:-1]) * dz + RL_den
-        num_cir = num_int + L_dt * I_prev
-        j_d = (dV + num_cir) / den_int
+        den_pl = jnp.sum(den_igd[1:-1]) * dz + p["circuit_R"] * A_ch
+        den_all = den_pl + L_dt * A_ch
+        j_prev = I_prev / A_ch
+        j_d = j_prev + (dV + num_int - j_prev * den_pl) / den_all
         if cfg.anode_sheath:
             # electron-repelling anode sheath: the sheath drop phi_s adjusts so the
             # electron flux reaching the anode matches the circuit current; one
@@ -300,7 +348,7 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
             j_e_th = _E * ne[1] * jnp.sqrt(_E * Te[1] / (2.0 * jnp.pi * _ME))
             j_e_req = jnp.maximum(j_d - j_i[1], 1e-6 * j_e_th)
             phi_s = jnp.clip(Te[1] * jnp.log(j_e_th / j_e_req), 0.0, 0.5 * jnp.abs(dV))
-            j_d = (dV - phi_s + num_cir) / den_int
+            j_d = j_prev + (dV - phi_s + num_int - j_prev * den_pl) / den_all
         I_new = j_d * A_ch
         j_d_loc = j_d * inv_AR  # local circuit current density
         E_z = (j_d_loc - j_i) / enmu - grad_pe / ne
@@ -309,8 +357,10 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
         # ---- heavy-species boundary (ghost) states
         u_bohm = jnp.sqrt(zq * _E * Te[1] / mi)  # (Z,)
         mom_back = jnp.sum(jnp.minimum(mom_i[:, 1], 0.0))  # ion mass flux into anode
-        rho_n_l = (mdot_in / A_ch - mom_back) / u_n
-        rho_n_b = rho_n.at[0].set(rho_n_l).at[-1].set(rho_n[-2])
+        # injected flux per group; anode-recycled ion backflow re-enters group 0
+        recyc = jnp.zeros((G,), f).at[0].set(-mom_back)
+        rho_n_l = (inj_frac * mdot_in / A_ch + recyc) / u_g
+        rho_n_b = rho_n.at[:, 0].set(rho_n_l).at[:, -1].set(rho_n[:, -2])
 
         rho_gl = rho_i[:, 1]
         u_gl = jnp.minimum(u_i[:, 1], -cfg.mdot_bohm_fraction * u_bohm)
@@ -331,8 +381,8 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
             return jnp.pad(s, pad) if cfg.reconstruct else jnp.zeros_like(q)
 
         sl_rn = minmod_slope(rho_n_b)
-        rho_nLf = rho_n_b[:-1] + 0.5 * sl_rn[:-1]
-        Fn = u_n * jnp.maximum(rho_nLf, rho_floor)  # neutral upwind (u_n > 0)
+        rho_nLf = rho_n_b[:, :-1] + 0.5 * sl_rn[:, :-1]
+        Fn = u_g[:, None] * jnp.maximum(rho_nLf, rho_floor)  # neutral upwind (u_g > 0)
 
         u_i_b = mom_i_b / jnp.maximum(rho_i_b, rho_floor)
         sl_r = minmod_slope(rho_i_b)
@@ -357,25 +407,26 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
         def ddz(F):
             return (F[..., 1:] * AR_f[1:] - F[..., :-1] * AR_f[:-1]) / (dz * AR[1:-1])
 
-        rho_n_new = rho_n_b.at[1:-1].add(-dt * ddz(Fn))
+        rho_n_new = rho_n_b.at[:, 1:-1].add(-dt * ddz(Fn))
         rho_i_new = rho_i_b.at[:, 1:-1].add(-dt * ddz(Fr))
         mom_i_new = mom_i_b.at[:, 1:-1].add(-dt * ddz(Fm))
 
         # ionization source terms (static unroll over <= 6 reactions)
         inelastic = jnp.zeros((NC,), f)
         dinel_dTe = jnp.zeros((NC,), f)
-        d_rho_n = jnp.zeros((NC,), f)
+        d_rho_n = jnp.zeros((G, NC), f)
         d_rho = jnp.zeros((Z, NC), f)
         d_mom = jnp.zeros((Z, NC), f)
         for ri, (r, table) in enumerate(zip(reactions, rxn_tables)):
             k_r = lookup_rate(table, Te)
             n_from = nn if r.z_from == 0 else ni[r.z_from - 1]
-            u_from = u_n if r.z_from == 0 else u_i[r.z_from - 1]
+            u_from = u_n_eff if r.z_from == 0 else u_i[r.z_from - 1]
             R = (ne * k_r) * n_from  # events / m^3 s (this product order is
             # float32-safe: ne*n_from alone can exceed 3.4e38)
             dm = R * mi
             if r.z_from == 0:
-                d_rho_n = d_rho_n - dm
+                # consumption split over the velocity groups by density share
+                d_rho_n = d_rho_n - dm[None, :] * n_share
             else:
                 d_rho = d_rho.at[r.z_from - 1].add(-dm)
                 d_mom = d_mom.at[r.z_from - 1].add(-dm * u_from)
@@ -409,9 +460,9 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
             nu_iw = 0.6 * u_bohm_z / gap * in_channel[None, :]
             d_rho = d_rho - nu_iw * rho_i
             d_mom = d_mom - nu_iw * mom_i
-            d_rho_n = d_rho_n + jnp.sum(nu_iw * rho_i, axis=0)
+            d_rho_n = d_rho_n.at[0].add(cfg.wall_recycling * jnp.sum(nu_iw * rho_i, axis=0))
 
-        rho_n_new = rho_n_new.at[1:-1].add(dt * d_rho_n[1:-1])
+        rho_n_new = rho_n_new.at[:, 1:-1].add(dt * d_rho_n[:, 1:-1])
         rho_i_new = rho_i_new.at[:, 1:-1].add(dt * d_rho[:, 1:-1])
         mom_i_new = mom_i_new.at[:, 1:-1].add(dt * d_mom[:, 1:-1])
 

@@ -11,7 +11,6 @@ every previous point.
 
 from __future__ import annotations
 
-import time
 from typing import Optional
 
 import numpy as np
@@ -276,7 +275,6 @@ class ComponentSurrogate:
 
         Returns (error_indicator, num_new_evals, cost_seconds_estimate).
         """
-        t0 = time.perf_counter()
         if out_cols is not None and len(out_cols) == 0:
             return 0.0, 0, 1.0  # component influences no target: never refine
         if kappa not in self.interpolants:
@@ -358,7 +356,6 @@ class ComponentSurrogate:
         excess = max(0.0, own_frac - base_frac)
         err *= max(0.1, 1.0 - 2.0 * excess)
         cost = max(n_new, 1) * self.component.get_cost(alpha)
-        _ = time.perf_counter() - t0
         return err, n_new, cost
 
     def activate_index(self, kappa: tuple):

@@ -97,7 +97,7 @@ def main(argv=None):
         I_B = A_ch * 1.602176634e-19 * jnp.sum(zq * rho_i[:, ex] / mi *
                                                mom_i[:, ex] / jnp.maximum(rho_i[:, ex], 1e10 * mi))
         snap = {
-            "nn": rho_n / mi, "ne": ne, "Te": Te, "u1": u1,
+            "nn": jnp.sum(rho_n, axis=0) / mi, "ne": ne, "Te": Te, "u1": u1,
             "I_d": I_cir, "I_B": I_B,
             "rho_i_ex": rho_i[:, ex] / mi,
         }

@@ -38,11 +38,24 @@ parser.add_argument("--shift-pstar", type=float, default=56.86006e-6)
 parser.add_argument("--c-w", type=float, default=1.0)
 parser.add_argument("--cpu", action="store_true")
 parser.add_argument("--no-shift", action="store_true")
-parser.add_argument("--implicit-inelastic", action="store_true")
-parser.add_argument("--circuit-r", type=float, default=0.0, help="cathode-line resistance [Ohm]")
+parser.add_argument("--implicit-inelastic", action=argparse.BooleanOptionalAction,
+                    default=True, help="Newton-linearized inelastic sink (production default)")
+parser.add_argument("--circuit-r", type=float, default=0.5,
+                    help="cathode-line resistance [Ohm] (pem_v0 config.circuit nominal)")
 parser.add_argument("--circuit-l", type=float, default=0.0, help="cathode-line inductance [H]")
 parser.add_argument("--wms", type=float, default=None, help="wall_momentum_scale override")
 parser.add_argument("--ne-floor", type=float, default=None, help="ne_floor override [m^-3]")
+parser.add_argument("--neutral-groups", type=int, default=None, help="1 or 2 (kinetic-tail)")
+parser.add_argument("--wall-loss", type=str, default=None, help="sheath|landmark")
+parser.add_argument("--b-hat", type=float, default=1.0, help="magnetic-field scale")
+parser.add_argument("--anom-depth", type=float, default=0.98, help="barrier-well depth (0..1)")
+parser.add_argument("--b-max", type=float, default=None, help="synthetic B peak [T] (regenerates B)")
+parser.add_argument("--anode-alpha", type=float, default=None, help="near-anode alpha plateau")
+parser.add_argument("--anode-edge-frac", type=float, default=None)
+parser.add_argument("--wes", type=float, default=None, help="wall_energy_scale override")
+parser.add_argument("--wall-recycling", type=float, default=None, help="returned fraction")
+parser.add_argument("--b-sigma-out", type=float, default=None, help="synthetic B outer decay [m]")
+parser.add_argument("--see-crossover", type=float, default=None, help="BN SEE crossover [eV]")
 
 
 def main(argv=None):
@@ -69,6 +82,20 @@ def main(argv=None):
         extra["wall_momentum_scale"] = args.wms
     if args.ne_floor is not None:
         extra["ne_floor"] = args.ne_floor
+    if args.neutral_groups is not None:
+        extra["neutral_groups"] = args.neutral_groups
+    if args.wall_loss is not None:
+        extra["wall_loss_type"] = args.wall_loss
+    if args.see_crossover is not None:
+        extra["see_crossover_eV"] = args.see_crossover
+    if args.anode_alpha is not None:
+        extra["anode_alpha"] = args.anode_alpha
+    if args.anode_edge_frac is not None:
+        extra["anode_edge_frac"] = args.anode_edge_frac
+    if args.wes is not None:
+        extra["wall_energy_scale"] = args.wes
+    if args.wall_recycling is not None:
+        extra["wall_recycling"] = args.wall_recycling
     cfg = SolverConfig(
         num_cells=fid["num_cells"], ncharge=fid["ncharge"], dt=fid["dt"],
         duration=args.duration, average_start_time=args.duration / 2,
@@ -76,7 +103,14 @@ def main(argv=None):
         pressure_shift="none" if args.no_shift else "LogisticPressureShift",
         implicit_inelastic=args.implicit_inelastic, **extra,
     )
-    base_B = jnp.asarray(_load_bfield(device, cfg), jnp.float32)
+    if args.b_max is not None or args.b_sigma_out is not None:
+        zc = cfg.cell_centers()
+        z_ch = cfg.geometry.channel_length
+        s = np.where(zc < z_ch, 0.011, args.b_sigma_out or 0.018)
+        base_B = jnp.asarray((args.b_max or 0.016) * np.exp(-0.5 * ((zc - z_ch) / s) ** 2),
+                             jnp.float32)
+    else:
+        base_B = jnp.asarray(_load_bfield(device, cfg), jnp.float32)
     params = make_params({
         "V_d": args.vd, "mdot_a": args.mdot, "V_cc": args.vcc, "P_b": args.pb,
         "T_e_cath": args.te_cath, "u_n": args.u_n, "l_t": args.l_t,
@@ -84,6 +118,7 @@ def main(argv=None):
         "shift_dz": args.shift_dz, "shift_z0": args.shift_z0,
         "shift_pstar": args.shift_pstar,
         "circuit_R": args.circuit_r, "circuit_L": args.circuit_l,
+        "B_hat": args.b_hat, "anom_depth": args.anom_depth,
     }, batch_shape=(1,))
 
     import time
@@ -156,6 +191,20 @@ def main(argv=None):
                              ("nn [m^-3]", nn, 1.0), ("E [V/m]", out["E"], 1.0)):
         i_pk = int(np.argmax(arr * np.where((z > 0.005) & (z < 0.05), 1.0, 0.0)))
         print(f"  {name:10s}: peak {arr[i_pk]:.3g} at z = {z[i_pk] * 1e3:.1f} mm")
+    # ---- power budget (from averaged profiles; steady-state interpretation)
+    from hallthrusterpem_tpu.models.thruster.solver import wall_energy_loss_rate
+
+    nu_eps = np.asarray(wall_energy_loss_rate(Te, ne, in_ch, args.c_w, cfg, xp=np))
+    P_wall = float(np.sum(nu_eps * 1.5 * ne * Te * e * A_ch * AR * dz))
+    u_ex = out["ui"][0][-2]
+    P_beam = 0.5 * out["thrust"] * u_ex  # ~ (1/2) mdot_i u^2 at matched u
+    P_tot = I_d * (args.vd - args.vcc)
+    P_iz = I_B0 * 30.0  # ~30 eV effective cost per beam ion (iz + exc chain)
+    print(f"\n# power budget: P_in = {P_tot:.0f} W | beam ~{P_beam:.0f} W | "
+          f"wall(e) = {P_wall:.0f} W | ionization+exc ~{P_iz:.0f} W | "
+          f"residual (anode conv. etc.) ~{P_tot - P_beam - P_wall - P_iz:.0f} W")
+    print("# published SPT-100 scale: P_in ~1350 W, beam ~900 W, walls ~200 W, iz ~120 W")
+
     # compact z-profile table through the barrier/near-plume (the leak region)
     print("\n#   z[mm]    ne[m^-3]   nn[m^-3]  Te[eV]  u1[km/s]  E[V/m]   alpha    dR/dz[Ohm/m]")
     for zmm in (15, 20, 23, 25, 27, 29, 31, 33, 35, 40, 45, 55, 70):

