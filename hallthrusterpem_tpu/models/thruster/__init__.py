@@ -91,13 +91,30 @@ def _tree_to_solver_inputs(tree: dict):
         inner = anom.get("model", {}) or {}
     anom_type = inner.get("type", "TwoZoneBohm")
 
+    num_cells = int(sim.get("grid", {}).get("num_cells", 100))
+    ncharge = int(config.get("ncharge", 1))
+    dt = float(np.min(np.asarray(sim.get("dt", 5e-9))))
+    if sim.get("adaptive"):
+        # The reference config requests HallThruster.jl's adaptive timestepping
+        # (pem_v0_SPT-100.yml:93). Under XLA we keep static shapes (one compiled
+        # program per config), so adaptivity is quasi-static: pick the
+        # CFL-consistent dt for THIS config (same bound default_model_fidelity
+        # applies on the fidelity ladder, reference thruster.py:140-181) and
+        # clamp it to the requested [min_dt, max_dt] window. The YAML's dt then
+        # acts as the initial guess it is in HallThruster.jl, not a hard step.
+        fid = default_model_fidelity((0, ncharge - 1), {"config": config})
+        dx = (float(domain[1]) - float(domain[0])) / (num_cells + 1)
+        dt_cfl = fid["dt"] * dx / (float(domain[1]) / (fid["num_cells"] + 1))
+        dt = float(np.clip(dt_cfl, float(sim.get("min_dt", dt_cfl)),
+                           float(sim.get("max_dt", dt_cfl))))
+
     cfg = SolverConfig(
-        num_cells=int(sim.get("grid", {}).get("num_cells", 100)),
-        ncharge=int(config.get("ncharge", 1)),
+        num_cells=num_cells,
+        ncharge=ncharge,
         domain=(float(domain[0]), float(domain[1])),
         geometry=geometry,
         propellant=str(config.get("propellant", "Xenon")),
-        dt=float(np.min(np.asarray(sim.get("dt", 5e-9)))),
+        dt=dt,
         duration=duration,
         average_start_time=float(post.get("average_start_time", 0.5 * duration)),
         anom_model=anom_type,
@@ -112,16 +129,11 @@ def _tree_to_solver_inputs(tree: dict):
         num_save=0 if os.environ.get("HTPEM_TRACES") == "0" else int(sim.get("num_save", 0)),
     )
     if sim.get("adaptive"):
-        # The reference config requests HallThruster.jl's adaptive timestepping
-        # (pem_v0_SPT-100.yml:93). The TPU solver integrates with a fixed
-        # CFL-consistent dt chosen from the fidelity ladder (static shapes: one
-        # compiled program per config) — same stability margin, deterministic cost.
         import logging
 
         logging.getLogger("hallthrusterpem_tpu").info(
-            "simulation.adaptive=true: using fixed CFL-consistent dt=%.3g s "
-            "(adaptive stepping is subsumed by the CFL bound on TPU; "
-            "set simulation.dt to override)", cfg.dt,
+            "simulation.adaptive=true: quasi-static adaptive stepping, "
+            "CFL-consistent dt=%.3g s clamped to [min_dt, max_dt]", cfg.dt,
         )
 
     overrides = {}

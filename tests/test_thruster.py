@@ -224,3 +224,37 @@ def test_spt100_nominal_accuracy_regression():
     assert 71.0 < T_mN < 91.0, f"thrust regression: {T_mN:.1f} mN (anchor ~83, (0,0) baseline 77.8)"
     assert 3.9 < I_d < 4.95, f"discharge-current regression: {I_d:.2f} A (anchor ~4.5, (0,0) baseline 4.41)"
     assert 0 < I_B0 < I_d, f"beam current must be positive and below I_d: {I_B0:.2f}"
+
+
+def test_adaptive_timestepping_clamps_dt_to_cfl():
+    """``simulation.adaptive: true`` (reference pem_v0_SPT-100.yml:93) must DO
+    something: the quasi-static equivalent picks the CFL-consistent dt for the
+    actual grid/charge/voltage and clamps it to [min_dt, max_dt], instead of
+    trusting the YAML's fixed dt (the reference's adaptive stepper treats dt as
+    an initial guess too)."""
+    from hallthrusterpem_tpu.models.thruster import _tree_to_solver_inputs
+
+    def build(sim):
+        tree = {
+            "config": {"discharge_voltage": 300.0,
+                       "anode_mass_flow_rate": 5e-6, "ncharge": 1,
+                       "domain": [0, 0.08]},
+            "simulation": dict({"grid": {"num_cells": 100}, "duration": 1e-4}, **sim),
+            "postprocess": {},
+        }
+        cfg, _, _ = _tree_to_solver_inputs(tree)
+        return cfg
+
+    # fixed mode: dt honored verbatim
+    assert build({"dt": 1e-8}).dt == pytest.approx(1e-8)
+    # adaptive: an unstable 1e-8 request is replaced by the CFL bound (~7.5e-9
+    # for 100 cells / 1 charge / 300 V Xe), regardless of the starting dt
+    adaptive = build({"dt": 1e-8, "adaptive": True, "min_dt": 1e-10, "max_dt": 1e-7})
+    assert adaptive.dt < 1e-8
+    assert build({"dt": 1e-9, "adaptive": True, "min_dt": 1e-10, "max_dt": 1e-7}).dt == \
+        pytest.approx(adaptive.dt)  # dt is an initial guess only
+    # the [min_dt, max_dt] window binds
+    assert build({"dt": 1e-9, "adaptive": True, "min_dt": 1e-10, "max_dt": 1e-9}).dt == \
+        pytest.approx(1e-9)
+    assert build({"dt": 1e-9, "adaptive": True, "min_dt": 1e-8, "max_dt": 1e-7}).dt == \
+        pytest.approx(1e-8)
