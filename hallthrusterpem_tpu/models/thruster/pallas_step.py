@@ -120,19 +120,70 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
     inv_dz = 1.0 / dz
     inv_dt = 1.0 / dt
 
-    def physics(rho_n, nE, rho_i, mom_i, nu_anom, omega_ce, dV, mdot_in, u_n, c_w, te_cath,
-                tan_div, rc, l_dt, i_prev, u_i_pre=None):
-        lane = _lane_iota(rho_n.shape)
+    def loop_invariants(shape, c_w, tan_div):
+        """Everything the per-step physics uses that does NOT depend on the
+        evolving state: lane masks, geometry, the static plume cone, and the
+        c_w-scaled wall collisionality. The K-step kernel computes this ONCE
+        before its ``fori_loop`` (the VPU is the bottleneck; Mosaic does not
+        reliably hoist loop-invariant chains with divides out of the loop)."""
+        fint = jnp.float32
+        lane = _lane_iota(shape)
         interior = (lane >= 1) & (lane <= NC - 2)
         in_domain = lane <= NC - 1
-        fint = jnp.float32
         interior_f = interior.astype(fint)
-        rho_i = list(rho_i)
-        mom_i = list(mom_i)
+        face_f = (lane <= NC - 2).astype(fint)
 
         z_cell = jnp.where(lane == 0, 0.0, (lane.astype(fint) - 0.5) * dz)
         z_cell = jnp.where(lane >= NC - 1, cfg.domain[1] - cfg.domain[0], z_cell)
         in_channel = (z_cell <= cfg.geometry.channel_length).astype(fint)
+        nu_ew = (cfg.electron_wall_losses * cfg.wall_momentum_scale * 1e7) * c_w * in_channel
+
+        pre = {
+            "lane": lane, "interior": interior, "in_domain": in_domain,
+            "interior_f": interior_f, "face_f": face_f,
+            "z_cell": z_cell, "in_channel": in_channel, "nu_ew": nu_ew,
+        }
+        if cfg.solve_plume:
+            # STATIC per-sample expansion cone of slope tan_div — time-independent
+            # stream-tube area ratio AR(z) from the lane coordinate, no extra state
+            tand = jnp.clip(tan_div, 0.0, 2.0)
+            drz = tand * jnp.maximum(z_cell - cfg.geometry.channel_length, 0.0)
+            r_o = cfg.geometry.outer_radius + drz
+            r_i_pl = jnp.maximum(cfg.geometry.inner_radius - drz, 0.0)
+            AR = (r_o * r_o - r_i_pl * r_i_pl) * (
+                1.0 / (cfg.geometry.outer_radius**2 - cfg.geometry.inner_radius**2)
+            )
+            inv_AR = 1.0 / AR
+            # face area ratios (face i sits between cells i, i+1) and the
+            # geometric log-derivative for the pressure-area momentum source
+            AR_f = 0.5 * (AR + _roll(AR, -1))
+            ARf_m = _roll(AR_f, 1)
+            dlnA = (AR_f - ARf_m) * inv_dz * inv_AR * interior_f
+            # QoI scale factors at the domain-end exit plane: exit fluxes cross
+            # the expanded area A_ch*AR; thrust also projects by cos(divergence)
+            ar_ex = AR[:, NC - 2][:, None]
+            qs_f = ar_ex
+            if cfg.apply_thrust_divergence_correction:
+                qs_t = ar_ex * jax.lax.rsqrt(1.0 + tand * tand)
+            else:
+                qs_t = ar_ex
+            pre.update(AR=AR, inv_AR=inv_AR, AR_f=AR_f, ARf_m=ARf_m, dlnA=dlnA,
+                       wp=AR_f * inv_AR, wm=ARf_m * inv_AR, qs_t=qs_t, qs_f=qs_f)
+        return pre
+
+    def physics(rho_n, nE, rho_i, mom_i, nu_anom, omega_ce, dV, mdot_in, u_n, c_w, te_cath,
+                tan_div, rc, l_dt, i_prev, u_i_pre=None, pre=None):
+        if pre is None:
+            pre = loop_invariants(rho_n.shape, c_w, tan_div)
+        lane = pre["lane"]
+        interior = pre["interior"]
+        in_domain = pre["in_domain"]
+        fint = jnp.float32
+        interior_f = pre["interior_f"]
+        z_cell = pre["z_cell"]
+        in_channel = pre["in_channel"]
+        rho_i = list(rho_i)
+        mom_i = list(mom_i)
 
         if sanitize:
             rho_n, nE, rho_i, mom_i = sanitize_state(cfg, rho_n, nE, rho_i, mom_i)
@@ -158,28 +209,18 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
         lnL = jnp.clip(23.0 - 0.5 * jnp.log(ne * 1e-6) + 1.5 * lnTe, 2.0, 30.0)
         rs_te = jax.lax.rsqrt(Te)
         nu_ei = 2.9e-12 * ne * lnL * (rs_te * rs_te * rs_te)  # Te^-1.5 sans exp
-        nu_ew = (cfg.electron_wall_losses * cfg.wall_momentum_scale * 1e7) * c_w * in_channel
-        nu_e = k_en * nn + nu_ei + nu_anom + nu_ew
+        nu_e = k_en * nn + nu_ei + nu_anom + pre["nu_ew"]
         # mu = (e/me)/nu / (1+(w/nu)^2) == (e/me) nu/(nu^2+w^2): one divide
         mu = (_E / _ME) * nu_e / (nu_e * nu_e + omega_ce * omega_ce)
 
         # ---- quasi-1D plume expansion (mirrors solver.py's solve_plume block):
-        # STATIC per-sample expansion cone of slope tan_div — time-independent
-        # stream-tube area ratio AR(z) from the lane coordinate, no extra state
+        # static cone geometry precomputed in loop_invariants
         if cfg.solve_plume:
-            tand = jnp.clip(tan_div, 0.0, 2.0)
-            drz = tand * jnp.maximum(z_cell - cfg.geometry.channel_length, 0.0)
-            r_o = cfg.geometry.outer_radius + drz
-            r_i_pl = jnp.maximum(cfg.geometry.inner_radius - drz, 0.0)
-            AR = (r_o * r_o - r_i_pl * r_i_pl) * (
-                1.0 / (cfg.geometry.outer_radius**2 - cfg.geometry.inner_radius**2)
-            )
-            inv_AR = 1.0 / AR
-            # face area ratios (face i sits between cells i, i+1) and the
-            # geometric log-derivative for the pressure-area momentum source
-            AR_f = 0.5 * (AR + _roll(AR, -1))
-            ARf_m = _roll(AR_f, 1)
-            dlnA = (AR_f - ARf_m) * inv_dz * inv_AR * interior_f
+            AR = pre["AR"]
+            inv_AR = pre["inv_AR"]
+            AR_f = pre["AR_f"]
+            ARf_m = pre["ARf_m"]
+            dlnA = pre["dlnA"]
         else:
             AR = None
             inv_AR = 1.0
@@ -241,8 +282,7 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
 
         # ---- fluxes: F[:, i] = flux through face between cells i and i+1, with
         # MUSCL minmod reconstruction of primitives (mirrors solver.py)
-        face = lane <= NC - 2
-        face_f = face.astype(fint)
+        face_f = pre["face_f"]
 
         def minmod_slope(q):
             if not cfg.reconstruct:
@@ -344,15 +384,16 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
         kf = (0.5 * inv_dz) * (kap + _roll(kap, -1))
         Gp = 2.5 * jnp.maximum(G_f, 0.0)
         Gn = 2.5 * jnp.minimum(G_f, 0.0)
-        nu_eps = cfg.electron_wall_losses * wall_energy_loss_rate(Te, ne, in_channel, c_w, cfg)
+        nu_eps = cfg.electron_wall_losses * wall_energy_loss_rate(
+            Te, ne, in_channel, c_w, cfg, lnTe=lnTe, rs_te=rs_te)
         q_ohm = (j_d_loc - j_i) * E_z * (1.0 / _E)
 
         # row i uses faces f-=i-1 (roll +1) and f+=i; with the plume cone the
         # energy-flux divergence picks up AR_face / AR_cell weights
         Gp_m, Gn_m, kf_m = _roll(Gp, 1), _roll(Gn, 1), _roll(kf, 1)
         if cfg.solve_plume:
-            wp = AR_f * inv_AR
-            wm = ARf_m * inv_AR
+            wp = pre["wp"]
+            wm = pre["wm"]
             sub = (-Gp_m - kf_m) * wm * inv_dz
             sup = (Gn - kf) * wp * inv_dz
             diag = ne_new * (1.5 * inv_dt + nu_eps * 1.5) + (
@@ -379,7 +420,10 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
         diag = jnp.where(interior, diag, 1.0)
         rhs = jnp.where(interior, rhs, 1.0)
 
-        # row-normalized PCR over lanes (8 levels for 256 lanes). A sublane-packed
+        # PCR over lanes (8 levels for 256 lanes) in the ROW-NORMALIZED form:
+        # each level keeps the diagonal at 1 (one reciprocal + three muls per
+        # level) instead of carrying b and paying two divides + two extra rolls
+        # (round-3 kernel-headroom work; ~10% of the step). A sublane-packed
         # variant (one roll serving all four coefficient arrays) was measured
         # slower at tile height 32 — the pack/unpack concats cost more data
         # movement than the rolls they save; see docs/validation.md.
@@ -387,42 +431,39 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
         a = sub * inv
         c = sup * inv
         d = rhs * inv
-        b = jnp.ones_like(d)
         k = 1
         # levels span the coupled interior block (identity rows beyond it)
         n_levels = max(1, int(np.ceil(np.log2(max(NC, 2)))))
         for _ in range(n_levels):
             valid_m = lane >= k
             valid_p = lane < LN - k
+            # neighbor rows are normalized (b == 1); invalid rolls read as
+            # identity rows with zero coupling and zero rhs
             am = jnp.where(valid_m, _roll(a, k), 0.0)
-            bm = jnp.where(valid_m, _roll(b, k), 1.0)
             cm = jnp.where(valid_m, _roll(c, k), 0.0)
             dm_ = jnp.where(valid_m, _roll(d, k), 0.0)
             ap = jnp.where(valid_p, _roll(a, -k), 0.0)
-            bp = jnp.where(valid_p, _roll(b, -k), 1.0)
             cp = jnp.where(valid_p, _roll(c, -k), 0.0)
             dp_ = jnp.where(valid_p, _roll(d, -k), 0.0)
-            alpha = -a / bm
-            beta = -c / bp
-            a, c = alpha * am, beta * cp
-            b = b + alpha * cm + beta * ap
-            d = d + alpha * dm_ + beta * dp_
+            b_new = 1.0 - a * cm - c * ap
+            d = d - a * dm_ - c * dp_
+            a = -a * am
+            c = -c * cp
+            rb = 1.0 / b_new
+            a = a * rb
+            c = c * rb
+            d = d * rb
             k *= 2
-        Te_new = d / b
+        Te_new = d
         Te_new = jnp.where(lane == 0, Te_bc_l, Te_new)
         Te_new = jnp.where(lane >= NC - 1, te_cath, Te_new)
         Te_new = jnp.clip(Te_new, cfg.Te_min, cfg.Te_max)
         nE_new = 1.5 * ne_new * Te_new
 
-        # QoI scale factors at the domain-end exit plane: exit fluxes cross the
-        # expanded area A_ch * AR; thrust additionally projects by cos(divergence)
+        # QoI scale factors at the domain-end exit plane (see loop_invariants)
         if cfg.solve_plume:
-            ar_ex = AR[:, NC - 2][:, None]
-            qs_f = ar_ex
-            if cfg.apply_thrust_divergence_correction:
-                qs_t = ar_ex * jax.lax.rsqrt(1.0 + tand * tand)
-            else:
-                qs_t = ar_ex
+            qs_t = pre["qs_t"]
+            qs_f = pre["qs_f"]
         else:
             qs_t = jnp.ones_like(j_d)
             qs_f = qs_t
@@ -431,6 +472,7 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
             j_d, Te, ne, E_z, nn, qs_t, qs_f,
         )
 
+    physics.loop_invariants = loop_invariants
     return physics
 
 
@@ -591,10 +633,13 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (TB, 128), dimension=1)
         slot = lambda s: (lane128 == s).astype(jnp.float32)
 
+        # loop-invariant masks/geometry: once per K-block, not once per step
+        pre = physics.loop_invariants((TB, LN), scal[3], scal[5])
+
         def body(k, carry):
             (rho_n, nE, rho_i, mom_i, u_i, prof, sacc, icir) = carry
             (rho_n, nE, rho_i, mom_i), (j_d, Te, ne, E_z, nn, qs_t, qs_f) = physics(
-                rho_n, nE, rho_i, mom_i, nu_anom, omega, *scal, icir, u_i_pre=u_i
+                rho_n, nE, rho_i, mom_i, nu_anom, omega, *scal, icir, u_i_pre=u_i, pre=pre
             )
             # post-step velocities: shared by the profile/thrust accumulators here
             # and by the next iteration's physics (single divide per step)

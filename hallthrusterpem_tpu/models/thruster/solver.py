@@ -82,7 +82,8 @@ def _pressure_shift_m(p, cfg: SolverConfig, z_ch: float):
     return (p["shift_z0"] + p["shift_dz"] * (1.0 - sig)) * z_ch
 
 
-def wall_energy_loss_rate(Te, ne, in_channel, c_w, cfg: SolverConfig, xp=jnp):
+def wall_energy_loss_rate(Te, ne, in_channel, c_w, cfg: SolverConfig, xp=jnp,
+                          lnTe=None, rs_te=None):
     """Electron-wall energy-loss frequency nu_eps [1/s] such that the volumetric
     loss is ``nu_eps * (3/2 n Te)``. Two models (cfg.wall_loss_type):
 
@@ -95,7 +96,13 @@ def wall_energy_loss_rate(Te, ne, in_channel, c_w, cfg: SolverConfig, xp=jnp):
       staying gentle at low Te.
     """
     if cfg.wall_loss_type == "sheath":
-        gamma = xp.minimum(cfg.see_gamma_max, 1.4 * (Te * (1.0 / cfg.see_crossover_eV)) ** 0.576)
+        if lnTe is not None:
+            # kernel fast path: reuse the already-computed ln(Te) — the 0.576
+            # power is exp(0.576 (lnTe - ln e*)) without a fresh log
+            gamma = xp.minimum(cfg.see_gamma_max,
+                               1.4 * xp.exp(0.576 * (lnTe - float(np.log(cfg.see_crossover_eV)))))
+        else:
+            gamma = xp.minimum(cfg.see_gamma_max, 1.4 * (Te * (1.0 / cfg.see_crossover_eV)) ** 0.576)
         one_m_g = 1.0 - gamma
         # phi_w/Te = max(ln((1-gamma) sqrt(mi/2 pi me)), 0): the Te factor cancels
         # against the 1/(1.5 Te) in nu_eps = flux*(2Te+phi_w)/(1.5 n Te), so the
@@ -103,7 +110,8 @@ def wall_energy_loss_rate(Te, ne, in_channel, c_w, cfg: SolverConfig, xp=jnp):
         phi_w_over_te = xp.maximum(xp.log(one_m_g * float(np.sqrt(cfg.mi / (2 * np.pi * _ME)))), 0.0)
         coef = float(cfg.wall_energy_scale * 0.6 * np.sqrt(_E / cfg.mi)
                      / cfg.geometry.channel_gap / 1.5)  # Bohm wall flux / (n 1.5 sqrt(Te))
-        return (coef * c_w) * xp.sqrt(Te) / one_m_g * (2.0 + phi_w_over_te) * in_channel
+        sqrt_te = (Te * rs_te) if rs_te is not None else xp.sqrt(Te)
+        return (coef * c_w) * sqrt_te / one_m_g * (2.0 + phi_w_over_te) * in_channel
     return cfg.wall_energy_scale * c_w * 1e7 * xp.exp(-20.0 / Te) * in_channel
 
 
