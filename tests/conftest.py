@@ -29,11 +29,41 @@ def eight_devices():
     return devs[:8]
 
 
+def _update_readme_coverage_badge(repo_root: Path) -> None:
+    """Refresh the ``![Code Coverage](...)`` badge in README.md from the
+    pytest-cov data file, when one exists (the reference's coverage-badge
+    automation, tests/conftest.py:15-57, reimplemented for shields.io)."""
+    import re
+
+    cov_file = repo_root / ".coverage"
+    readme = repo_root / "README.md"
+    if not cov_file.exists() or not readme.exists():
+        return
+    try:
+        from coverage import Coverage
+
+        cov = Coverage(data_file=str(cov_file))
+        cov.load()
+        total = round(cov.report(show_missing=False, file=open(os.devnull, "w")))
+    except Exception:
+        return
+    color = next(c for low, c in [(95, "brightgreen"), (90, "green"), (75, "yellowgreen"),
+                                  (60, "yellow"), (40, "orange"), (0, "red")] if total >= low)
+    badge = f"![Code Coverage](https://img.shields.io/badge/coverage-{total}%25-{color}?logo=codecov)"
+    text = readme.read_text(encoding="utf-8")
+    new = re.sub(r"\!\[Code Coverage\]\(.*?\)", badge, text, count=1)
+    if new != text:
+        readme.write_text(new, encoding="utf-8")
+
+
 def pytest_sessionfinish(session, exitstatus):
     """Record the last test-run status for the pre-commit gate
-    (the reference's ``.pytest_status`` convention, tests/conftest.py:60-67)."""
+    (the reference's ``.pytest_status`` convention, tests/conftest.py:60-67),
+    and refresh the README coverage badge when pytest-cov ran."""
+    repo_root = Path(__file__).resolve().parents[1]
     status = {"exit_status": int(exitstatus), "timestamp": time.time()}
     try:
-        (Path(__file__).resolve().parents[1] / ".pytest_status").write_text(json.dumps(status))
+        (repo_root / ".pytest_status").write_text(json.dumps(status))
     except OSError:
         pass
+    _update_readme_coverage_badge(repo_root)
