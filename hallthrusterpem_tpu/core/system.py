@@ -285,6 +285,35 @@ class System:
     def __call__(self, samples: Dataset, **kwargs) -> Dataset:
         return self.predict(samples, **kwargs)
 
+    def as_jax_fn(self, training: bool = True, qoi_ind: Optional[Sequence[str]] = None):
+        """Jittable feed-forward system prediction through the *trained surrogates*.
+
+        Device-side analogue of :meth:`predict` (``use_model=None``) for fusing the
+        whole coupled system into one jitted program — an on-device MCMC posterior
+        with vmapped walkers (SURVEY.md §3.4; reference ``mcmc.py:65`` evaluates the
+        amisc surrogate on the host per walker), a Sobol' sweep, or an optimizer
+        loop. Every component must have a trained surrogate. Compressed field
+        outputs come back as latent coefficients, same as :meth:`predict`.
+        """
+        chain = []
+        for comp in self.components:
+            if comp.surrogate is None:
+                raise ValueError(f"Component {comp.name} has no trained surrogate; "
+                                 "as_jax_fn requires a fully-trained system")
+            chain.append((comp.input_names(), comp.surrogate.as_jax_fn(training=training)))
+        keep = None if qoi_ind is None else set(qoi_ind)
+
+        def fn(samples: Dataset) -> Dataset:
+            data = dict(samples)
+            for in_names, f in chain:
+                out = f({n: data[n] for n in in_names})
+                data.update(out)
+            if keep is not None:
+                return {k: v for k, v in data.items() if k in keep}
+            return data
+
+        return fn
+
     # ------------------------------------------------------------------ training
     def fit(self, **kwargs):
         """Adaptive multi-fidelity surrogate training (reference ``fit_surr.py:111-116``).

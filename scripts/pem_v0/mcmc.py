@@ -52,6 +52,10 @@ parser.add_argument("--qois", nargs="*", default=["V_cc", "T", "I_d"],
                          "(SVD-latent reconstruction, reference mcmc.py:85-89)")
 parser.add_argument("--id-penalty", type=float, default=2.0,
                     help="extra weight on the discharge-current misfit (reference mcmc.py:95-104)")
+parser.add_argument("--on-device", action="store_true",
+                    help="evaluate the log-posterior as ONE jitted device program over the "
+                         "whole walker ensemble (System.as_jax_fn; SURVEY.md §3.4). Requires "
+                         "a trained surrogate for every component and --noise-samples 1.")
 
 
 def load_system(args) -> System:
@@ -92,14 +96,9 @@ def build_dataset(system, args):
     return ops, obs, sig, {}
 
 
-def main(argv=None):
-    args = parser.parse_args(argv)
-    system = load_system(args)
-    calib = [v for v in system.inputs() if v.category == "calibration"]
-    names = [v.name for v in calib]
-    print(f"calibrating {len(names)} parameters: {names}")
-
-    ops, obs, sig, fields = build_dataset(system, args)
+def build_numpy_posterior(system, args, calib, names, ops, obs, sig, fields):
+    """Host-NumPy ensemble log-posterior (theta (W, d) -> (W,)): one batched
+    ``system.predict`` per call, optional M-sample noise marginalization."""
     n_ops = len(next(iter(ops.values())))
     M = max(1, args.noise_samples)
     _noise_seed = [0]
@@ -134,7 +133,7 @@ def main(argv=None):
             else:
                 batch[v.name] = base
         qoi_list = list(obs) + list(fields)
-        pred = system.predict(batch, use_model=args.use_model, qoi_ind=qoi_list)
+        pred = system.predict(batch, use_model=args.use_model, qoi_ind=qoi_list, training=True)
 
         ll = np.zeros((W, M))
         bad = np.zeros((W, M), dtype=bool)
@@ -186,6 +185,123 @@ def main(argv=None):
         alive = lp > -1e29
         ll = np.where(alive, log_likelihood(theta), 0.0)
         return lp + ll
+
+    return log_posterior
+
+
+def build_device_posterior(system, args, calib, names, ops, obs, sig, fields):
+    """ONE-device-program log-posterior: the coupled surrogate chain, the scalar +
+    field Gaussian likelihood, and the priors, jitted end-to-end over the walker
+    ensemble (``System.as_jax_fn``; SURVEY.md §3.4 — the reference evaluates its
+    amisc surrogate per-walker on the host, ``mcmc.py:57-106``).
+
+    Returns ``(np_wrapper, jitted_fn)``: the wrapper takes/returns NumPy for the
+    DRAM driver; the jitted fn is exposed for steps/sec benchmarking.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if max(1, args.noise_samples) > 1:
+        raise SystemExit("--on-device requires --noise-samples 1 (logsumexp noise "
+                         "marginalization draws host randomness per call)")
+    n_ops = len(next(iter(ops.values())))
+    qoi_list = list(obs) + list(fields)
+    fn = system.as_jax_fn(training=True, qoi_ind=qoi_list)
+
+    # static per-condition inputs (everything but the calibration parameters)
+    static = {}
+    for v in system.inputs():
+        if v.name in names:
+            continue
+        if v.name in ops:
+            static[v.name] = jnp.asarray(ops[v.name], jnp.float32)
+        else:
+            nom = v.nominal if v.nominal is not None else 0.5 * sum(v.get_domain())
+            static[v.name] = jnp.full((n_ops,), float(nom), jnp.float32)
+
+    # observation tensors with NaN-as-mask semantics matching the NumPy path
+    obs_t = {}
+    for q in obs:
+        mask = np.isfinite(obs[q])
+        obs_t[q] = (jnp.asarray(np.where(mask, obs[q], 0.0), jnp.float32),
+                    jnp.asarray(mask, jnp.float32),
+                    jnp.asarray(np.where(mask, sig[q], 1.0), jnp.float32),
+                    float(args.id_penalty if q == "I_d" else 1.0))
+
+    # field specs: per-condition static (coords, vals, stds) + the compression grid
+    field_t = {}
+    for q, specs in fields.items():
+        var = next(v for v in system.outputs() if v.name == q)
+        if var.compression is None or var.compression.coords is None:
+            raise SystemExit(f"--on-device field term {q!r} needs a compression map")
+        grid = jnp.asarray(np.asarray(var.compression.coords, dtype=float).reshape(-1), jnp.float32)
+        per_cond = []
+        for k, spec in enumerate(specs):
+            if spec is None:
+                continue
+            per_cond.append((k, jnp.asarray(spec["coords"], jnp.float32),
+                             jnp.asarray(spec["vals"], jnp.float32),
+                             jnp.asarray(spec["stds"], jnp.float32)))
+        field_t[q] = (var, grid, per_cond)
+
+    dom = np.array([v.get_domain() for v in calib], dtype=float)  # (d, 2)
+    lo = jnp.asarray(dom[:, 0], jnp.float32)
+    hi = jnp.asarray(dom[:, 1], jnp.float32)
+
+    def log_posterior(theta):  # (W, d) -> (W,)
+        W = theta.shape[0]
+        batch = {name: jnp.repeat(theta[:, i], n_ops) for i, name in enumerate(names)}
+        for k, v in static.items():
+            batch[k] = jnp.tile(v, W)
+        pred = fn(batch)
+
+        ll = jnp.zeros(W, jnp.float32)
+        bad = jnp.zeros(W, bool)
+        for q, (vals, mask, s, w) in obs_t.items():
+            p = jnp.reshape(pred[q], (W, n_ops))
+            r = (p - vals) / s * mask
+            bad |= ~jnp.isfinite(r).all(axis=-1)
+            ll += -0.5 * w * jnp.sum(jnp.where(jnp.isfinite(r), r, 0.0) ** 2, axis=-1)
+        for q, (var, grid, per_cond) in field_t.items():
+            lat = jnp.reshape(pred[q], (W, n_ops, -1))
+            prof = var.denormalize(var.compression.reconstruct(lat))  # (W, n_ops, nz)
+            for k, coords, vals, stds in per_cond:
+                interp = jax.vmap(lambda row: jnp.interp(coords, grid[: prof.shape[-1]], row))(
+                    prof[:, k, :])
+                r = (interp - vals) / stds
+                bad |= ~jnp.isfinite(r).all(axis=-1)
+                ll += -0.5 * jnp.sum(jnp.where(jnp.isfinite(r), r, 0.0) ** 2, axis=-1)
+
+        lp = jnp.zeros(W, jnp.float32)
+        for i, v in enumerate(calib):
+            pdf = v.pdf(theta[:, i])
+            lp += jnp.log(jnp.maximum(pdf, 1e-30))
+        inside = jnp.all((theta >= lo) & (theta <= hi), axis=-1)
+        out = jnp.where(inside & ~bad, lp + ll, -jnp.inf)
+        return jnp.where(jnp.isfinite(out), out, -1e30)
+
+    jitted = jax.jit(log_posterior)
+
+    def np_wrapper(theta: np.ndarray) -> np.ndarray:
+        theta = np.atleast_2d(np.asarray(theta, dtype=np.float32))
+        return np.asarray(jitted(jnp.asarray(theta)), dtype=float)
+
+    return np_wrapper, jitted
+
+
+def main(argv=None):
+    args = parser.parse_args(argv)
+    system = load_system(args)
+    calib = [v for v in system.inputs() if v.category == "calibration"]
+    names = [v.name for v in calib]
+    print(f"calibrating {len(names)} parameters: {names}")
+
+    ops, obs, sig, fields = build_dataset(system, args)
+
+    if args.on_device:
+        log_posterior, _ = build_device_posterior(system, args, calib, names, ops, obs, sig, fields)
+    else:
+        log_posterior = build_numpy_posterior(system, args, calib, names, ops, obs, sig, fields)
 
     x0 = np.array([v.nominal if v.nominal is not None else 0.5 * sum(v.get_domain()) for v in calib])
 

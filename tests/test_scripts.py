@@ -181,6 +181,46 @@ def test_mcmc_script_real_data_fields(workdir, monkeypatch, capsys):
     assert np.isfinite(logps).all() and logps.max() > -1e29
 
 
+def test_mcmc_on_device_parity(workdir, monkeypatch, capsys):
+    """--on-device: the whole-ensemble posterior as ONE jitted device program
+    (System.as_jax_fn -> scalar + field likelihood -> priors; SURVEY.md §3.4)
+    matches the host-NumPy posterior and drives DRAM end-to-end."""
+    import gen_data
+    import fit_surr
+    import mcmc
+    from hallthrusterpem_tpu.core.system import System
+
+    monkeypatch.chdir(workdir)
+    gen_data.main([str(workdir / "fake_pem.yml"), "-c", "32", "-t", "16"])
+    comp_yml = workdir / "amisc_data" / "fake-pem_compression.yml"
+    fit_surr.main([str(comp_yml), "-i", "4", "-m", "1e-8", "-N", "32"])
+    trained = workdir / "amisc_data" / "fake-pem_trained.yml"
+
+    argv = [str(trained), "--data", "spt100", "--qois", "V_cc", "T", "I_d", "u_ion"]
+    args = mcmc.parser.parse_args(argv)
+    system = System.load_from_file(trained)
+    calib = [v for v in system.inputs() if v.category == "calibration"]
+    names = [v.name for v in calib]
+    ops, obs, sig, fields = mcmc.build_dataset(system, args)
+    np_lp = mcmc.build_numpy_posterior(system, args, calib, names, ops, obs, sig, fields)
+    dev_lp, _ = mcmc.build_device_posterior(system, args, calib, names, ops, obs, sig, fields)
+
+    rng = np.random.default_rng(5)
+    dom = np.array([v.get_domain() for v in calib], dtype=float)
+    x0 = np.array([v.nominal if v.nominal is not None else 0.5 * (d[0] + d[1])
+                   for v, d in zip(calib, dom)])
+    theta = x0 + 0.05 * (dom[:, 1] - dom[:, 0]) * rng.standard_normal((6, len(calib)))
+    theta = np.clip(theta, dom[:, 0], dom[:, 1])
+    host, dev = np_lp(theta), dev_lp(theta)
+    # float32 device chain vs float64 host on the same surrogate/likelihood
+    assert np.all(np.isfinite(host)) and np.all(np.isfinite(dev))
+    assert np.allclose(dev, host, rtol=3e-3, atol=3e-3 * float(np.abs(host).max()))
+
+    mcmc.main(argv + ["--on-device", "--niter", "20", "--walkers", "3",
+                      "--file", str(workdir / "chain_dev.h5")])
+    assert "posterior mean" in capsys.readouterr().out
+
+
 def test_monte_carlo_experimental_comparison(workdir, monkeypatch, capsys):
     """Model-vs-data tables at experimental operating conditions plus the MISC
     allocation replay (reference monte_carlo.py:63-335, 708-767)."""
