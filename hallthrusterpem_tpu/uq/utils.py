@@ -88,11 +88,21 @@ def normal_sample(mean, cov, size: int, seed: int = 0) -> np.ndarray:
 
 def laplace_approximation(log_post: Callable, x_map: np.ndarray, rel_step: float = 1e-4):
     """Gaussian (Laplace) approximation at a MAP point: N(x_map, -H^{-1})
-    (reference ``run_laplace``, ``mcmc.py:234-252``)."""
+    (reference ``run_laplace``, ``mcmc.py:234-252``).
+
+    Flat or negatively-curved posterior directions (likelihood uninformative
+    about a parameter) make ``-H`` singular; their eigenvalues are floored at
+    1e-8 of the stiffest direction, so those directions come back with a large
+    but finite variance instead of raising."""
     H = approx_hess(log_post, x_map, rel_step=rel_step)
-    cov = np.linalg.inv(-H)
-    if not is_positive_definite(cov):
-        cov = nearest_positive_definite(cov)
+    A = -0.5 * (H + H.T)
+    w, V = np.linalg.eigh(A)
+    top = float(w.max())
+    if not np.isfinite(top) or top <= 0.0:
+        raise ValueError("laplace_approximation: no positive curvature at x_map "
+                         "(posterior locally flat or x_map not a mode)")
+    w = np.maximum(w, 1e-8 * top)
+    cov = (V / w) @ V.T
     return np.asarray(x_map, dtype=np.float64), cov
 
 

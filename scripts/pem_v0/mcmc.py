@@ -47,6 +47,10 @@ parser.add_argument("--noise-samples", type=int, default=1,
                          "likelihood eval via logsumexp (reference mcmc.py:103-104); 1 = off")
 parser.add_argument("--file", default="dram_chain.h5")
 parser.add_argument("--mle", action="store_true", help="run MLE optimization first")
+parser.add_argument("--laplace", action="store_true",
+                    help="precondition DRAM with the Laplace approximation at the start "
+                         "point (MAP with --mle): proposal cov0 = (2.38^2/d) * Sigma_Laplace "
+                         "and walker starts ~ N(x_map, Sigma) (reference mcmc.py:234-252)")
 parser.add_argument("--qois", nargs="*", default=["V_cc", "T", "I_d"],
                     help="QoIs for the likelihood; u_ion / j_ion add the field terms "
                          "(SVD-latent reconstruction, reference mcmc.py:85-89)")
@@ -316,6 +320,27 @@ def main(argv=None):
     # parameters and stalls high-dimensional chains)
     widths = np.array([(v.get_domain()[1] - v.get_domain()[0]) for v in calib])
     cov0 = np.diag((0.02 * widths / np.sqrt(len(calib))) ** 2)
+
+    if args.laplace:
+        # Laplace preconditioning at the start point (the MAP with --mle): the
+        # curvature-matched proposal is what takes 17-dim chains from ~0.02 to
+        # the 0.2-0.3 acceptance band (reference run_laplace, mcmc.py:234-252)
+        from hallthrusterpem_tpu.uq import normal_sample
+
+        # log_posterior is ensemble-batched; approx_hess sends ONE (2d^2+1, d)
+        # stencil batch through it (uq/utils.py:24-49)
+        x_map, cov_l = laplace_approximation(lambda x: np.asarray(log_posterior(np.atleast_2d(x))), x0)
+        # cap flat-direction variances at the domain width (the eigen-floor in
+        # laplace_approximation keeps them finite but can leave them huge)
+        std = np.sqrt(np.diag(cov_l))
+        scale = np.minimum(1.0, 0.5 * widths / np.maximum(std, 1e-300))
+        cov_l = cov_l * np.outer(scale, scale)
+        print("Laplace std:", dict(zip(names, np.round(np.sqrt(np.diag(cov_l)), 6))))
+        cov0 = (2.38**2 / len(calib)) * cov_l
+        dom = np.array([v.get_domain() for v in calib], dtype=float)
+        starts = normal_sample(x_map, cov_l, args.walkers, seed=1)
+        margin = 1e-6 * (dom[:, 1] - dom[:, 0])
+        x0 = np.clip(starts, dom[:, 0] + margin, dom[:, 1] - margin)
 
     samples, logps, acc = dram(
         log_posterior, x0, niter=args.niter, n_walkers=args.walkers, cov0=cov0,

@@ -64,7 +64,7 @@ def test_mcmc_script_synthetic(workdir, monkeypatch):
     monkeypatch.chdir(workdir)
     mcmc.main([str(workdir / "fake_pem.yml"), "--niter", "60", "--walkers", "4",
                "--use-model", "best", "--file", str(workdir / "chain.h5"),
-               "--qois", "V_cc", "T", "I_d"])
+               "--qois", "V_cc", "T", "I_d", "--laplace"])
     assert (workdir / "chain.h5").exists()
     from hallthrusterpem_tpu.uq import read_mcmc_chain
 
