@@ -267,6 +267,15 @@ def run_simulation(json_input: dict, **_compat) -> dict:
     if "discharge_current_trace" in raw:
         average["discharge_current_trace"] = raw["discharge_current_trace"]
         average["trace_times"] = raw["trace_times"]
+        if json_input.get("postprocess", {}).get("cycle_average"):
+            # integer-breathing-cycle I_d average from the trace: removes the
+            # window-phase noise term from training labels (postprocess.py)
+            from hallthrusterpem_tpu.models.thruster.postprocess import cycle_averaged_current
+
+            i_cyc = np.asarray(cycle_averaged_current(
+                raw["discharge_current_trace"], raw["trace_times"], cfg.average_start_time))
+            average["discharge_current"] = np.where(
+                np.isfinite(i_cyc), i_cyc, average["discharge_current"])
     output_tree = {
         "output": {"average": average},
         "config": json_input.get("config", {}),

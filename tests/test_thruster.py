@@ -258,3 +258,58 @@ def test_adaptive_timestepping_clamps_dt_to_cfl():
         pytest.approx(1e-9)
     assert build({"dt": 1e-9, "adaptive": True, "min_dt": 1e-8, "max_dt": 1e-7}).dt == \
         pytest.approx(1e-8)
+
+
+def test_cycle_averaged_current():
+    """Integer-cycle trace averaging removes the window-phase noise a fixed
+    window leaves on breathing-discharge labels (postprocess.py; the round-2
+    surrogate accuracy floor was this term at std ~12 A breathing)."""
+    import numpy as np
+    from hallthrusterpem_tpu.models.thruster.postprocess import cycle_averaged_current
+
+    n = 3000
+    t = np.linspace(0.0, 3e-3, n)
+    f, i0, amp = 16.3e3, 4.8, 1.4  # 24.45 cycles in the window: non-integer
+    phases = [0.0, 1.3, 2.6, 4.1]
+    trace = np.stack([i0 + amp * np.sin(2 * np.pi * f * t + p) for p in phases])
+    t0 = 1.5e-3
+
+    win = np.array([trace[b][t >= t0].mean() for b in range(len(phases))])
+    cyc = np.asarray(cycle_averaged_current(trace, t, t0))
+    # the fixed window is phase-noisy at the A/(pi*Ncyc) scale; cycle-aligned
+    # averaging must beat it by a wide margin at every phase
+    assert np.abs(win - i0).max() > 1e-3
+    assert np.abs(cyc - i0).max() < np.abs(win - i0).max() / 5
+    assert np.abs(cyc - i0).max() < 5e-3
+
+    # steady discharge (no crossings): falls back to the window mean
+    steady = np.full((2, n), 4.5)
+    out = np.asarray(cycle_averaged_current(steady, t, t0))
+    assert np.allclose(out, 4.5)
+
+    # NaN rows (failed samples) stay NaN
+    bad = trace.copy()
+    bad[1] = np.nan
+    out = np.asarray(cycle_averaged_current(bad, t, t0))
+    assert np.isnan(out[1]) and np.isfinite(out[0])
+
+
+def test_cycle_average_postprocess_key():
+    """postprocess.cycle_average flows through the run_simulation tree API and
+    replaces the accumulator I_d with the trace-derived integer-cycle mean."""
+    import numpy as np
+    from hallthrusterpem_tpu.models.thruster import run_simulation
+
+    tree = {
+        "config": {"thruster": {"name": "SPT-100"},
+                   "discharge_voltage": 300.0, "anode_mass_flow_rate": 5e-6,
+                   "ncharge": 1, "domain": [0, 0.08],
+                   "anom_model": {"type": "TwoZoneBohm", "c1": 0.00625, "c2": 0.0625}},
+        "simulation": {"grid": {"num_cells": 60}, "dt": 1e-8, "duration": 2.4e-4,
+                       "num_save": 200},
+        "postprocess": {"average_start_time": 1.2e-4, "cycle_average": True},
+    }
+    out = run_simulation(tree)["output"]["average"]
+    assert "discharge_current_trace" in out
+    i_d = np.asarray(out["discharge_current"], dtype=float)
+    assert i_d.shape == () and (np.isnan(i_d) or 0 <= i_d < 120)
