@@ -267,6 +267,20 @@ class ComponentSurrogate:
                 cols.extend(range(start, start + size))
         return np.asarray(cols, dtype=int)
 
+    def _variable_blocks(self, out_cols=None) -> Optional[list]:
+        """Column-index blocks, one per output variable (a field's latent columns
+        form a single block), optionally intersected with ``out_cols``. None when
+        the output layout is not built yet (no model eval has happened)."""
+        if not self._layout_built:
+            return None
+        sel = None if out_cols is None else {int(c) for c in np.asarray(out_cols).ravel()}
+        blocks = []
+        for _var, start, size, _kind in self._out_slices:
+            cols = [c for c in range(start, start + size) if sel is None or c in sel]
+            if cols:
+                blocks.append(np.asarray(cols, dtype=int))
+        return blocks or None
+
     def candidate_surplus(
         self, kappa: tuple, num_refine: int = 256, rng=None, out_cols=None
     ) -> tuple[float, int, float]:
@@ -287,18 +301,30 @@ class ComponentSurrogate:
         )
         cur = self._combined_eval(x, self.active)
         new = self._combined_eval(x, self.active | {kappa})
-        if out_cols is not None:
-            if len(out_cols) == 0:
-                return 0.0, 0, 1.0
-            cur = cur[:, out_cols]
-            new = new[:, out_cols]
-        # scale-free, bounded surplus per output: ||new-cur|| / (||cur|| + ||new||)
-        # (a plain relative norm explodes when an output is ~0, letting NaN-imputed
-        # garbage candidates dominate the refinement)
+        # scale-free, bounded surplus per output VARIABLE: ||new-cur|| / (||cur||
+        # + ||new||), fields treated as a single block (a plain relative norm
+        # explodes when an output is ~0, letting NaN-imputed garbage candidates
+        # dominate the refinement). Per-variable — not per-column — weighting
+        # matters: a 22-latent field output would otherwise cast 22 votes against
+        # each scalar's one, steering refinement into the dims that shape the
+        # field while starving the dims that drive the scalars (measured: a
+        # 120-iter pem_v0 fit never added knots along mdot_a/V_a, the top I_d/T
+        # drivers, and plateaued at 0.47-0.56 rel-L2 on T/I_d).
+        blocks = self._variable_blocks(out_cols)
+
         def _bounded_rel(a, b):
-            num = np.linalg.norm(a - b, axis=0)
-            denom = np.linalg.norm(a, axis=0) + np.linalg.norm(b, axis=0) + 1e-12
-            return float(np.mean(num / denom))
+            if blocks is None:  # layout not built yet: per-column fallback
+                sel = slice(None) if out_cols is None else out_cols
+                a, b = a[:, sel], b[:, sel]
+                num = np.linalg.norm(a - b, axis=0)
+                denom = np.linalg.norm(a, axis=0) + np.linalg.norm(b, axis=0) + 1e-12
+                return float(np.mean(num / denom))
+            vals = []
+            for cols in blocks:
+                num = np.linalg.norm(a[:, cols] - b[:, cols])
+                den = np.linalg.norm(a[:, cols]) + np.linalg.norm(b[:, cols]) + 1e-12
+                vals.append(num / den)
+            return float(np.mean(vals))
 
         err = _bounded_rel(new, cur)
         alpha, _ = split_index(kappa, self.n_alpha)
@@ -337,8 +363,6 @@ class ComponentSurrogate:
                 if ok:
                     vals_new = vals_new[ok]
                     vals_ref = np.stack([src_cache[keys[j]] for j in ok], axis=0)
-                    if out_cols is not None:
-                        vals_new, vals_ref = vals_new[:, out_cols], vals_ref[:, out_cols]
                     err = max(err, _bounded_rel(vals_new, vals_ref))
 
         # candidates whose model evals fail MORE OFTEN than the already-active

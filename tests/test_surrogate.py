@@ -188,6 +188,47 @@ def test_field_output_with_compression():
     assert relative_l2(rec, truth, axis=-1) < 0.01
 
 
+def test_surplus_weights_per_variable_not_per_column():
+    """A many-latent field output must not outvote scalar outputs in refinement
+    (measured failure: a 22-latent u_ion out-voted I_d/T 22:1 per column, so a
+    120-iter pem_v0 fit never refined mdot_a/V_a — the top I_d/T drivers)."""
+    from hallthrusterpem_tpu.core.variables import Compression
+
+    zgrid = np.linspace(0, 1, 30)
+
+    def model(inputs):
+        x = np.asarray(inputs["x"])  # drives the scalar strongly
+        y = np.asarray(inputs["y"])  # drives the field weakly (but high-rank)
+        prof = 1.0 + 0.05 * np.sin(np.pi * np.outer(1.0 + y, zgrid))
+        return {
+            "s": 1.0 + 4.0 * x,
+            "prof": prof,
+            "prof_coords": np.broadcast_to(zgrid, prof.shape),
+        }
+
+    prof_var = Variable(name="prof", compression=Compression(rank=20))
+    comp = Component(
+        name="BlockToy",
+        model=model,
+        inputs=[Variable(name="x", domain=(-1.0, 1.0)),
+                Variable(name="y", domain=(-1.0, 1.0))],
+        outputs=[Variable(name="s"), prof_var],
+        data_fidelity=(2, 2),
+    )
+    rng = np.random.default_rng(0)
+    snaps = model({"x": rng.uniform(-1, 1, 40), "y": rng.uniform(-1, 1, 40)})["prof"]
+    prof_var.compression.coords = zgrid
+    # rank-20 latent so the field has many columns to (wrongly) vote with
+    prof_var.compression.compute_map(snaps.T)
+    assert prof_var.compression.latent_size >= 10
+
+    surr = ComponentSurrogate(comp)
+    surr.initialize()
+    err_x, _, _ = surr.candidate_surplus((1, 0), num_refine=256, rng=np.random.default_rng(1))
+    err_y, _, _ = surr.candidate_surplus((0, 1), num_refine=256, rng=np.random.default_rng(1))
+    assert err_x > err_y, (err_x, err_y)
+
+
 def test_multifidelity_thruster_regridding():
     """Model-fidelity refinement changes the solver grid (ncells = 50*(a0+2));
     field outputs must regrid onto the compression coordinates before SVD
