@@ -103,10 +103,12 @@ def fit_system(
                     if finite.size and (var.domain is None or update_bounds):
                         var.domain = (float(finite.min()), float(finite.max()))
 
-    # initialize surrogates
+    # initialize surrogates (a surrogate pre-created by load_training_cache
+    # carries eval caches but no active set — it still needs initialize())
     for comp in system.components:
         if comp.surrogate is None:
             comp.surrogate = ComponentSurrogate(comp)
+        if not comp.surrogate.active:
             n0 = comp.surrogate.initialize()
             if verbose:
                 system.logger.info("Initialized surrogate for %s (%d evals)", comp.name, n0)

@@ -73,6 +73,13 @@ def train_surrogate(system, fidelity: str, args, test_set):
         system.clear()
         for comp in system.components:
             comp.model_fidelity = () if mode == "single" else saved_alpha[comp.name]
+        # merge any mid-fit eval cache from a previous/interrupted run so the
+        # expensive model evaluations are reused (reference fit_surr.py:95-96)
+        if system.root_dir is not None:
+            cache_pkl = Path(system.root_dir) / "cache" / f"{system.name}_training_cache.pkl"
+            if cache_pkl.exists():
+                n = system.load_training_cache(cache_pkl)
+                system.logger.info("reloaded %d cached model evals from %s", n, cache_pkl)
         system.fit(
             targets=args.targets,
             max_iter=args.max_iter,
