@@ -237,8 +237,43 @@ class ComponentSurrogate:
         shape = tuple(len(k) for k in knots) + (vals.shape[-1],)
         interp = TensorInterpolant(knots=tuple(knots), values=vals.reshape(shape))
         self.interpolants[kappa] = interp
-        self.nan_frac[kappa] = getattr(self, "_last_nan_frac", 0.0)
+        # failed-knot fraction over the WHOLE grid (cached repaired points
+        # included), not just this call's misses — prefetched grids would
+        # otherwise always read 0
+        rep = getattr(self, "_repaired_keys", {}).get(alpha, set())
+        if rep:
+            keys = [self._point_key(p) for p in pts]
+            self.nan_frac[kappa] = sum(k in rep for k in keys) / max(len(keys), 1)
+        else:
+            self.nan_frac[kappa] = 0.0
         return interp, n_new
+
+    def prefetch_candidate_evals(self, kappas) -> int:
+        """Evaluate ALL missing grid points across the candidate index-sets in
+        one batched model call per alpha (TPU-first: on the batched in-process
+        solver a 1-point and a 500-point call cost the same wall-clock, so the
+        per-candidate calls ``candidate_surplus`` would otherwise issue waste
+        the device; the reference pays one subprocess per point instead —
+        ``thruster.py:490-502`` — so it never had this choice).
+
+        Returns the number of new model evaluations."""
+        by_alpha: dict[tuple, dict[tuple, np.ndarray]] = {}
+        for kappa in kappas:
+            if kappa in self.interpolants:
+                continue
+            alpha, beta = split_index(kappa, self.n_alpha)
+            cache = self.eval_cache.setdefault(alpha, {})
+            dst = by_alpha.setdefault(alpha, {})
+            for p in tensor_grid_points(self.knots_1d(beta)):
+                k = self._point_key(p)
+                if k not in cache and k not in dst:
+                    dst[k] = p
+        n = 0
+        for alpha, pending in by_alpha.items():
+            if pending:
+                _, n_new = self.evaluate_points(alpha, np.stack(list(pending.values())))
+                n += n_new
+        return n
 
     def initialize(self) -> int:
         """Activate the base index (all zeros). Returns number of model evals."""
