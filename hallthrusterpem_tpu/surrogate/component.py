@@ -35,6 +35,9 @@ class ComponentSurrogate:
         if td.get("method", "sparse-grid") != "sparse-grid":
             raise ValueError(f"Unsupported training_data method {td.get('method')!r}")
         self.knots_per_level = int(knots_per_level or td.get("knots_per_level", 2))
+        #: per-dim basis: "lagrange" (spectral) or "linear" (local hats — robust
+        #: when the model has extreme-but-finite responses at domain corners)
+        self.interpolation = str(td.get("interpolation", "lagrange"))
 
         self.inputs = list(component.inputs)
         self.n_dim = len(self.inputs)
@@ -235,7 +238,8 @@ class ComponentSurrogate:
         pts = tensor_grid_points(knots)
         vals, n_new = self.evaluate_points(alpha, pts)
         shape = tuple(len(k) for k in knots) + (vals.shape[-1],)
-        interp = TensorInterpolant(knots=tuple(knots), values=vals.reshape(shape))
+        interp = TensorInterpolant(knots=tuple(knots), values=vals.reshape(shape),
+                                   method=self.interpolation)
         self.interpolants[kappa] = interp
         # failed-knot fraction over the WHOLE grid (cached repaired points
         # included), not just this call's misses — prefetched grids would
@@ -483,7 +487,7 @@ class ComponentSurrogate:
             x = jnp.stack(cols, axis=-1)
             total = None
             for knots, weights, values, c in items:
-                val = jit_eval_tensor(knots, weights, values, x) * c
+                val = jit_eval_tensor(knots, weights, values, x, method=self.interpolation) * c
                 total = val if total is None else total + val
             total = total.reshape(batch_shape + (self.n_out,))
             return self.unpack_outputs(total, denormalize=denormalize)
@@ -526,7 +530,7 @@ class ComponentSurrogate:
         surr.candidates = set(tuple(k) for k in state["candidates"])
         for k, v in state["interp"].items():
             surr.interpolants[tuple(k)] = TensorInterpolant(
-                knots=tuple(v["knots"]), values=v["values"]
+                knots=tuple(v["knots"]), values=v["values"], method=surr.interpolation
             )
         surr.eval_cache = state.get("eval_cache", {})
         layout = state.get("layout")

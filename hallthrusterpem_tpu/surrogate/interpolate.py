@@ -30,18 +30,36 @@ def tensor_grid_points(knots_1d: Sequence[np.ndarray]) -> np.ndarray:
 
 @dataclass
 class TensorInterpolant:
-    """Barycentric tensor-product interpolant on nested Leja grids.
+    """Tensor-product interpolant on nested Leja grids.
 
     :param knots: per-dim node vectors (lengths n_1..n_d)
     :param values: (n_1, ..., n_d, n_out) training values on the tensor grid
+    :param method: ``"lagrange"`` (global barycentric polynomial per dim — fast
+        spectral convergence on smooth maps) or ``"linear"`` (piecewise-linear
+        hat basis per dim — LOCAL support, so an extreme-but-finite training
+        value at a domain corner cannot ring across the whole domain; constant
+        beyond the end knots). Both are interpolatory on nested knots, so the
+        MISC combination telescopes identically.
     """
 
     knots: tuple
     values: np.ndarray  # set after model evals
+    method: str = "lagrange"
 
     def __post_init__(self):
         self.knots = tuple(np.asarray(k, dtype=np.float64) for k in self.knots)
-        self._weights = tuple(barycentric_weights(k) for k in self.knots)
+        if getattr(self, "method", "lagrange") == "linear":
+            # hat-basis evaluation needs sorted nodes: sort each dim's knots and
+            # permute the value tensor axes to match, once, at construction
+            order = tuple(np.argsort(k) for k in self.knots)
+            self.knots = tuple(k[o] for k, o in zip(self.knots, order))
+            vals = np.asarray(self.values)
+            for d, o in enumerate(order):
+                vals = np.take(vals, o, axis=d)
+            self.values = vals
+            self._weights = tuple(np.ones_like(k) for k in self.knots)  # unused
+        else:
+            self._weights = tuple(barycentric_weights(k) for k in self.knots)
 
     @property
     def ndim(self) -> int:
@@ -65,7 +83,10 @@ class TensorInterpolant:
         x = np.asarray(x, dtype=np.float64)
         batch_shape = x.shape[:-1]
         xq = x.reshape((-1, self.ndim))
-        out = _eval_tensor_np(self.knots, self._weights, np.asarray(self.values), xq)
+        if getattr(self, "method", "lagrange") == "linear":
+            out = _eval_tensor_linear_np(self.knots, np.asarray(self.values), xq)
+        else:
+            out = _eval_tensor_np(self.knots, self._weights, np.asarray(self.values), xq)
         return out.reshape(batch_shape + (self.values.shape[-1],))
 
 
@@ -89,12 +110,52 @@ def _eval_tensor_np(knots, weights, values, xq: np.ndarray) -> np.ndarray:
     return v
 
 
-def jit_eval_tensor(knots, weights, values, xq):
+def _linear_factor_np(kn: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Piecewise-linear hat weights: ``q`` (N,) on sorted nodes ``kn`` (n,) ->
+    (N, n) factor matrix (rows sum to 1; constant beyond the end nodes)."""
+    n = kn.size
+    out = np.zeros((q.size, n))
+    if n == 1:
+        out[:, 0] = 1.0
+        return out
+    qc = np.clip(q, kn[0], kn[-1])
+    hi = np.clip(np.searchsorted(kn, qc, side="right"), 1, n - 1)
+    lo = hi - 1
+    t = (qc - kn[lo]) / np.maximum(kn[hi] - kn[lo], 1e-300)
+    rows = np.arange(q.size)
+    out[rows, lo] = 1.0 - t
+    out[rows, hi] += t
+    return out
+
+
+def _eval_tensor_linear_np(knots, values, xq: np.ndarray) -> np.ndarray:
+    """Piecewise-multilinear tensor contraction: ``xq`` (N, d) -> (N, n_out)."""
+    v = None
+    for d, kn in enumerate(knots):
+        L = _linear_factor_np(kn, xq[:, d])
+        if v is None:
+            v = np.tensordot(L, values, axes=(1, 0))
+        else:
+            v = np.einsum("bi,bi...->b...", L, v)
+    return v
+
+
+def jit_eval_tensor(knots, weights, values, xq, method: str = "lagrange"):
     """Jittable barycentric tensor evaluation (for fusing a trained surrogate into
     an on-device program, e.g. a jitted posterior). The host path uses
     ``_eval_tensor_np``; this twin keeps the math available under ``jit``."""
 
     def factor(q, nodes, w):
+        if method == "linear":
+            n = nodes.shape[0]
+            if n == 1:
+                return jnp.ones(1, dtype=jnp.result_type(q, nodes))
+            qc = jnp.clip(q, nodes[0], nodes[-1])
+            hi = jnp.clip(jnp.searchsorted(nodes, qc, side="right"), 1, n - 1)
+            lo = hi - 1
+            t = (qc - nodes[lo]) / jnp.maximum(nodes[hi] - nodes[lo], 1e-300)
+            base = jnp.zeros(n, dtype=jnp.result_type(q, nodes))
+            return base.at[lo].add(1.0 - t).at[hi].add(t)
         diff = q - nodes
         near = jnp.abs(diff) < 1e-13 * (1.0 + jnp.abs(nodes))
         terms = w / jnp.where(near, 1.0, diff)

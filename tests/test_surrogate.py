@@ -52,6 +52,69 @@ def test_tensor_interpolant_polynomial_exactness():
     assert np.max(np.abs(got_nodes - f(pts))) < 1e-4
 
 
+def test_linear_basis_interpolates_and_is_local():
+    """The piecewise-linear hat basis reproduces knot values exactly and keeps an
+    extreme corner value LOCAL — the failure mode that motivates it: a global
+    Lagrange basis rings across the whole domain from one wild-but-finite knot."""
+    from hallthrusterpem_tpu.surrogate.interpolate import TensorInterpolant
+    from hallthrusterpem_tpu.surrogate.knots import knots_for_level
+
+    kn = knots_for_level(2, 2, domain=(-1.0, 1.0))  # 5 Leja points incl. both ends
+    vals = np.sin(kn)  # smooth baseline
+    vals_wild = vals.copy()
+    vals_wild[np.argmin(kn)] += 50.0  # extreme response at the left corner
+
+    lin = TensorInterpolant(knots=(kn,), values=vals_wild[:, None], method="linear")
+    lag = TensorInterpolant(knots=(kn,), values=vals_wild[:, None], method="lagrange")
+
+    # both exact at the knots
+    for interp in (lin, lag):
+        got = np.asarray(interp(kn[:, None]))[:, 0]
+        assert np.allclose(got, vals_wild, atol=1e-9), interp.method
+
+    # away from the wild corner (right half), the linear basis is unpolluted
+    xq = np.linspace(0.2, 1.0, 50)[:, None]
+    err_lin = np.max(np.abs(np.asarray(lin(xq))[:, 0] - np.sin(xq[:, 0])))
+    err_lag = np.max(np.abs(np.asarray(lag(xq))[:, 0] - np.sin(xq[:, 0])))
+    assert err_lin < 0.05, err_lin
+    assert err_lag > 1.0, err_lag  # the polynomial rings: documents the motivation
+
+    # constant extrapolation beyond the end knots
+    got = np.asarray(lin(np.array([[1.5], [-1.5]])))[:, 0]
+    assert got[0] == np.asarray(lin(np.array([[1.0]])))[0, 0]
+
+
+def test_linear_basis_misc_convergence_and_jit_parity():
+    """MISC combination telescopes with the hat basis, and the jittable
+    evaluation path matches the host path."""
+    import jax.numpy as jnp
+
+    comp = _toy_component()
+    comp.training_data = {"method": "sparse-grid", "knots_per_level": 2,
+                          "interpolation": "linear"}
+    comp.data_fidelity = (4, 4)
+    surr = ComponentSurrogate(comp)
+    assert surr.interpolation == "linear"
+    surr.initialize()
+    rng = np.random.default_rng(0)
+    for _ in range(14):
+        best, best_err = None, -1.0
+        for kappa in sorted(surr.candidates):
+            err, _, cost = surr.candidate_surplus(kappa, num_refine=128, rng=rng)
+            if err / max(cost, 1e-9) > best_err:
+                best_err, best = err / max(cost, 1e-9), kappa
+        surr.activate_index(best)
+    xt = {"x": rng.uniform(-1, 1, 300), "y": rng.uniform(0, 2, 300)}
+    truth = comp.fn(xt)
+    pred = surr.predict(xt, training=True)
+    assert relative_l2(np.asarray(pred["f"]), truth["f"]) < 0.05
+    assert relative_l2(np.asarray(pred["g"]), truth["g"]) < 0.05
+
+    jfn = surr.as_jax_fn()
+    jpred = jfn({k: jnp.asarray(v) for k, v in xt.items()})
+    assert relative_l2(np.asarray(jpred["f"]), np.asarray(pred["f"])) < 1e-4
+
+
 def test_combination_coefficients_vs_bruteforce():
     """The O(|S|^2 d) coefficient sweep must match the 2^d inclusion-exclusion."""
     from itertools import product
