@@ -348,6 +348,11 @@ class System:
             for alpha, cache in entry.get("eval_cache", {}).items():
                 comp.surrogate.eval_cache.setdefault(alpha, {}).update(cache)
                 n += len(cache)
+            for alpha, keys in entry.get("repaired", {}).items():
+                rep = getattr(comp.surrogate, "_repaired_keys", None)
+                if rep is None:
+                    rep = comp.surrogate._repaired_keys = {}
+                rep.setdefault(alpha, set()).update(map(tuple, keys))
             for alpha, rec in entry.get("model_costs", {}).items():
                 comp.model_costs.setdefault(alpha, rec)
         return n

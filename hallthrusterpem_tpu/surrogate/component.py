@@ -237,6 +237,19 @@ class ComponentSurrogate:
         knots = self.knots_1d(beta)
         pts = tensor_grid_points(knots)
         vals, n_new = self.evaluate_points(alpha, pts)
+        # zero-surplus imputation: failed (NaN-repaired) knots take the CURRENT
+        # active combination's prediction there, so the new index contributes
+        # nothing where the model gave no signal. The cache-time column-median
+        # fallback injected a (median - prediction) jump instead — measured on
+        # the pem_v0 fit as permanent test-error regressions when a candidate
+        # whose grid clips a failure region activated (e.g. +0.07 I_d rel-L2 at
+        # a P_b x a_2 cross term).
+        rep_keys = getattr(self, "_repaired_keys", {}).get(alpha, set())
+        if rep_keys and self.active:
+            bad_rows = [i for i, p in enumerate(pts) if self._point_key(p) in rep_keys]
+            if bad_rows:
+                vals = vals.copy()
+                vals[bad_rows] = self._combined_eval(pts[bad_rows], self.active)
         shape = tuple(len(k) for k in knots) + (vals.shape[-1],)
         interp = TensorInterpolant(knots=tuple(knots), values=vals.reshape(shape),
                                    method=self.interpolation)
@@ -521,6 +534,9 @@ class ComponentSurrogate:
                 for k, v in self.interpolants.items()
             },
             "eval_cache": self.eval_cache,
+            # which cached points are NaN-imputed, per alpha — without this a
+            # restored fit would treat imputed rows as real model data
+            "repaired": {a: sorted(s) for a, s in getattr(self, "_repaired_keys", {}).items()},
         }
 
     @staticmethod
@@ -533,6 +549,8 @@ class ComponentSurrogate:
                 knots=tuple(v["knots"]), values=v["values"], method=surr.interpolation
             )
         surr.eval_cache = state.get("eval_cache", {})
+        if state.get("repaired"):
+            surr._repaired_keys = {a: set(map(tuple, s)) for a, s in state["repaired"].items()}
         layout = state.get("layout")
         if layout:
             by_name = {v.name: v for v in surr.outputs}

@@ -132,7 +132,9 @@ def fit_system(
         cache_dir.mkdir(parents=True, exist_ok=True)
         payload = {
             comp.name: {"eval_cache": comp.surrogate.eval_cache,
-                        "model_costs": dict(comp.model_costs)}
+                        "model_costs": dict(comp.model_costs),
+                        "repaired": {a: sorted(s) for a, s in
+                                     getattr(comp.surrogate, "_repaired_keys", {}).items()}}
             for comp in system.components if comp.surrogate is not None
         }
         with open(cache_dir / f"{system.name}_training_cache.pkl", "wb") as f:

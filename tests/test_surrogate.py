@@ -370,6 +370,39 @@ def test_as_jax_fn_matches_numpy_predict():
         assert np.allclose(np.asarray(dev[k]), np.asarray(host[k], dtype=float), atol=2e-4)
 
 
+def test_failed_knots_take_zero_surplus_imputation():
+    """NaN knots are imputed with the current active combination's prediction
+    (zero hierarchical surplus), not the batch median — a median injects a
+    (median - prediction) jump wherever a candidate grid clips a failure
+    region."""
+    def model(inputs):
+        x = np.asarray(inputs["x"], dtype=float)
+        y = np.asarray(inputs["y"], dtype=float)
+        f = 2.0 * x + y
+        return {"f": np.where(x > 0.5, np.nan, f)}
+
+    comp = Component(
+        name="FailCorner",
+        model=model,
+        inputs=[Variable(name="x", domain=(-1.0, 1.0)),
+                Variable(name="y", domain=(-1.0, 1.0))],
+        outputs=[Variable(name="f")],
+        data_fidelity=(2, 2),
+    )
+    surr = ComponentSurrogate(comp)
+    surr.initialize()  # base knot x=0: clean
+    interp, _ = surr.build_interpolant((1, 0))  # knots include x=1 -> NaN
+    # locate the repaired knot's grid row and compare against the active
+    # (base) combination's prediction there
+    pts = interp.grid_points()
+    rep = surr._repaired_keys[()]
+    assert rep, "expected at least one repaired knot"
+    rows = [i for i, p in enumerate(pts) if surr._point_key(p) in rep]
+    vals = interp.values.reshape(len(pts), -1)
+    expect = surr._combined_eval(pts[rows], surr.active)
+    assert np.allclose(vals[rows], expect, atol=1e-12)
+
+
 def test_fidelity_ladder_climbs_with_baseline_failures():
     """A model whose ALL fidelity levels fail on the same ~25% of the domain must
     still climb the alpha ladder (round-2 regression: an absolute failure
