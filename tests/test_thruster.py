@@ -180,6 +180,42 @@ def test_beam_current_physical_bound_guard(monkeypatch):
     assert np.isfinite(out["I_B0"][1]), out["I_B0"]
 
 
+def test_quenched_discharge_floor_guard(monkeypatch):
+    """Samples whose time-averaged discharge current falls below 20% of the
+    anode-flow-equivalent current e*mdot/m_i are NaN-masked as failed
+    (extinguished) discharges: the solver's quenched states at the
+    high-u_n / low-mdot prior corner report I_d 4+ orders below any
+    self-sustained Hall discharge, and the reference's failure semantics map
+    such non-physical solves to errors -> NaN rows (thruster.py:490-502)."""
+    import numpy as np
+
+    import hallthrusterpem_tpu.models.thruster as thr
+
+    real_run = thr.run_simulation
+
+    def doctored(tree, **kw):
+        out = real_run(tree, **kw)
+        avg = out["output"]["average"]
+        dc = np.asarray(avg["discharge_current"], dtype=float)
+        dc[0] = 1e-3  # quenched discharge: micro-amp-scale current
+        avg["discharge_current"] = dc
+        return out
+
+    monkeypatch.setattr(thr, "run_simulation", doctored)
+    inputs = {
+        "P_b": np.full(2, 1e-5), "V_a": np.full(2, 300.0),
+        "mdot_a": np.full(2, 5.16e-6), "V_cc": np.full(2, 30.0),
+    }
+    out = thr.hallthruster_jl(
+        inputs, thruster="SPT-100",
+        simulation={"grid": {"num_cells": 40}, "dt": 5e-9, "duration": 1.2e-4},
+        postprocess={"average_start_time": 8e-5},
+        model_fidelity=(0, 0),
+    )
+    assert np.isnan(out["I_d"][0]) and np.isnan(out["T"][0]), out["I_d"]
+    assert np.isfinite(out["I_d"][1]), out["I_d"]
+
+
 @pytest.mark.slow
 def test_spt100_nominal_accuracy_regression():
     """Accuracy regression gate (round-3 VERDICT item #3): the SPT-100 nominal
