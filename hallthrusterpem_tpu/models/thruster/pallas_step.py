@@ -844,7 +844,13 @@ def simulate_batch_pallas_multi(
 
     total_calls = -(-cfg.num_steps // inner_steps)
     done = 0
-    trace_blocks = []
+    # O(num_save) running save buffer: gather each dispatch block's save points
+    # into a fixed (B, num_save) buffer instead of concatenating the full
+    # O(num_steps) trace and subsampling at the end (which costs ~2 MB/sample
+    # of HBM at 2 ms / CFL dt and OOMs reference-config batches >~1k).
+    stride = max(1, cfg.num_steps // cfg.num_save) if trace else 1
+    save_idx = jnp.arange(cfg.num_save) * stride if trace else None
+    tr_buf = jnp.zeros((B, cfg.num_save), jnp.float32) if trace else None
     while done < total_calls:
         n_calls = min(calls_per_dispatch, total_calls - done)
         state, prof, sacc, i0, traces = _pallas_multi_segment(
@@ -852,7 +858,13 @@ def simulate_batch_pallas_multi(
             trace
         )
         if trace:
-            trace_blocks.append(traces)  # (n_calls, B, inner_steps)
+            # traces: (n_calls, B, inner_steps), step-ordered within the block
+            S = n_calls * inner_steps
+            block = traces.transpose(1, 0, 2).reshape(B, S)
+            pos = save_idx - done * inner_steps  # global save step -> block-local
+            in_blk = (pos >= 0) & (pos < S)
+            gathered = jnp.take(block, jnp.clip(pos, 0, S - 1), axis=1)
+            tr_buf = jnp.where(in_blk[None, :], gathered, tr_buf)
         done += n_calls
 
     # assemble the accumulator dict the shared finalizer expects
@@ -873,13 +885,10 @@ def simulate_batch_pallas_multi(
     failed = sacc[:, _A_FAILED] > 0.5
     out = _pallas_finalize(params, (state, accum, i0, failed), consts, base_B, cfg)
     if trace:
-        # (B, total_steps) full-resolution I_d; subsample like solver.py's lax path
-        full = jnp.concatenate([t.transpose(1, 0, 2).reshape(B, -1) for t in trace_blocks], axis=1)
-        stride = max(1, cfg.num_steps // cfg.num_save)
-        idx = jnp.arange(cfg.num_save) * stride
-        tr = full[:, idx]
-        out["discharge_current_trace"] = jnp.where(failed[:, None], jnp.nan, tr)
-        out["trace_times"] = jnp.broadcast_to((idx.astype(jnp.float32) + 1.0) * cfg.dt, tr.shape)
+        out["discharge_current_trace"] = jnp.where(failed[:, None], jnp.nan, tr_buf)
+        out["trace_times"] = jnp.broadcast_to(
+            (save_idx.astype(jnp.float32) + 1.0) * cfg.dt, tr_buf.shape
+        )
     if pad:
         out = {k: v[:B0] for k, v in out.items()}
     return out

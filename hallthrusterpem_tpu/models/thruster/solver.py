@@ -573,16 +573,37 @@ def _simulate_one(p: dict, base_B: jnp.ndarray, cfg: SolverConfig, _return_step:
     if _return_step:
         return step, carry0
 
-    (state_f, accum, _, failed), trace = jax.lax.scan(step, carry0, None, length=cfg.num_steps)
-    out = _finalize_one(p, accum, failed, nu_anom, B, cfg)
     if cfg.num_save > 0:
         # evenly-spaced I_d(t) snapshots (the reference's simulation.num_save;
-        # breathing-mode spectra are a standard discharge diagnostic)
+        # breathing-mode spectra are a standard discharge diagnostic). Kept in
+        # an O(num_save) carry buffer instead of scan-stacking the full
+        # O(num_steps) per-step trace and subsampling afterwards: at 2 ms /
+        # CFL dt the stacked trace costs ~2 MB/sample of HBM and OOMs
+        # reference-config (num_save: 1000) batches >~1k.
         stride = max(1, cfg.num_steps // cfg.num_save)
+
+        def step_save(c, _):
+            inner, buf = c
+            i_prev = inner[2]
+            inner2, I_d = step(inner, None)
+            k = i_prev // stride
+            write = (i_prev % stride == 0) & (k < cfg.num_save)
+            kc = jnp.clip(k, 0, cfg.num_save - 1)
+            buf = buf.at[kc].set(jnp.where(write, I_d, buf[kc]))
+            return (inner2, buf), None
+
+        buf0 = jnp.zeros((cfg.num_save,), f)
+        ((state_f, accum, _, failed), tr_buf), _ = jax.lax.scan(
+            step_save, (carry0, buf0), None, length=cfg.num_steps
+        )
+        out = _finalize_one(p, accum, failed, nu_anom, B, cfg)
         idx = jnp.arange(cfg.num_save) * stride
-        out["discharge_current_trace"] = jnp.where(failed, jnp.nan, trace[idx])
+        out["discharge_current_trace"] = jnp.where(failed, jnp.nan, tr_buf)
         out["trace_times"] = (idx.astype(jnp.float32) + 1.0) * cfg.dt
-    return out
+        return out
+
+    (state_f, accum, _, failed), _ = jax.lax.scan(step, carry0, None, length=cfg.num_steps)
+    return _finalize_one(p, accum, failed, nu_anom, B, cfg)
 
 
 def _finalize_one(p: dict, accum: dict, failed, nu_anom, B, cfg: SolverConfig) -> dict:
