@@ -220,6 +220,17 @@ def fit_system(
                 {k: f"{v:.3e}" for k, v in errors.items()},
             )
 
+        # periodic re-imputation: failed knots of active interpolants were
+        # imputed with the combination as of their activation; refresh them
+        # against the current (better) surface so stale imputations do not
+        # accumulate as systematic error (see Surrogate.reimpute_active)
+        if (iteration + 1) % 25 == 0:
+            n_reimp = sum(
+                c.surrogate.reimpute_active() for c in system.components if c.surrogate
+            )
+            if n_reimp and verbose:
+                system.logger.info("re-imputed failed knots in %d interpolants", n_reimp)
+
         if save_interval and (iteration + 1) % save_interval == 0:
             _checkpoint(iteration + 1)
         if cache_interval and (iteration + 1) % cache_interval == 0:
