@@ -397,7 +397,11 @@ def hallthruster_jl(
         # knots: 183 quenched below 0.05*I_eq, 2 in [0.05, 0.2), live
         # population resumes above 0.2). The reference treats such failed
         # discharges as errors -> NaN rows (thruster.py:490-502 semantics).
-        if "I_d" in outputs:
+        # Only meaningful for quasi-steady averages: gate on the averaging
+        # window starting after the ~0.1-0.2 ms ignition transient, so short
+        # diagnostic/CI solves (e.g. 60 us) are not mislabeled as quenched.
+        avg_start = float(tree.get("postprocess", {}).get("average_start_time", 0.0) or 0.0)
+        if "I_d" in outputs and avg_start >= 2e-4:
             bad = bad | (np.asarray(outputs["I_d"]) < 0.2 * i_eq)
     if shock_threshold is not None and "u_ion" in outputs:
         z = outputs["u_ion_coords"]

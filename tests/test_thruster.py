@@ -208,8 +208,10 @@ def test_quenched_discharge_floor_guard(monkeypatch):
     }
     out = thr.hallthruster_jl(
         inputs, thruster="SPT-100",
-        simulation={"grid": {"num_cells": 40}, "dt": 5e-9, "duration": 1.2e-4},
-        postprocess={"average_start_time": 8e-5},
+        # quench guard is gated on a quasi-steady averaging window
+        # (average_start_time >= 2e-4 s, past the ignition transient)
+        simulation={"grid": {"num_cells": 40}, "dt": 5e-9, "duration": 3.2e-4},
+        postprocess={"average_start_time": 2e-4},
         model_fidelity=(0, 0),
     )
     assert np.isnan(out["I_d"][0]) and np.isnan(out["T"][0]), out["I_d"]
