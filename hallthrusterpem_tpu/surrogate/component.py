@@ -455,31 +455,44 @@ class ComponentSurrogate:
         self._refresh_candidates()
 
     def reimpute_active(self) -> int:
-        """One coarse-to-fine sweep re-imputing the failed knots of every ACTIVE
-        interpolant with the current combination (each index is rebuilt against
-        the combination of the OTHERS, so it contributes zero surplus where the
-        model gave no signal). Activation-time imputation alone goes stale as
-        later activations refine the surface. Returns the number rebuilt; all
-        model values come from the eval cache (no new evals)."""
+        """Re-impute the failed knots of every ACTIVE interpolant with the
+        current combined surface. Activation-time imputation alone goes stale
+        as later activations refine the surface. The imputation values are all
+        FROZEN from the full active combination before any rebuild: rebuilding
+        an index against "the combination of the others" is invalid here —
+        removing a non-maximal index from the downward-closed active set breaks
+        the MISC telescoping and the coefficients with it (measured as a
+        runaway: j_ion rel-L2 0.43 -> 1e12 on the round-3 iter200 state).
+        Returns the number rebuilt; all model values come from the eval cache
+        (no new evals)."""
         if not getattr(self, "_repaired_keys", {}):
             return 0
-        n = 0
+        todo = []
         for kappa in sorted(self.active, key=lambda k: (sum(k), k)):
             alpha, beta = split_index(kappa, self.n_alpha)
             rep = self._repaired_keys.get(alpha, set())
             if not rep:
                 continue
             pts = tensor_grid_points(self.knots_1d(beta))
-            if not any(self._point_key(p) in rep for p in pts):
-                continue
-            self.active.discard(kappa)
-            self.interpolants.pop(kappa, None)
-            self.build_interpolant(kappa)
-            self.active.add(kappa)
-            n += 1
-        if n:
-            self.misc_coeff = combination_coefficients(self.active)
-        return n
+            bad = [i for i, p in enumerate(pts) if self._point_key(p) in rep]
+            if bad:
+                todo.append((kappa, alpha, beta, pts, np.asarray(bad)))
+        if not todo:
+            return 0
+        frozen = {
+            kappa: self._combined_eval(pts[bad], self.active)
+            for kappa, _, _, pts, bad in todo
+        }
+        for kappa, alpha, beta, pts, bad in todo:
+            knots = self.knots_1d(beta)
+            vals, _ = self.evaluate_points(alpha, pts)
+            vals = vals.copy()
+            vals[bad] = frozen[kappa]
+            shape = tuple(len(k) for k in knots) + (vals.shape[-1],)
+            self.interpolants[kappa] = TensorInterpolant(
+                knots=tuple(knots), values=vals.reshape(shape), method=self.interpolation
+            )
+        return len(todo)
 
     # ------------------------------------------------------------------ prediction
     def _combined_eval(self, x: np.ndarray, index_set) -> np.ndarray:
