@@ -403,6 +403,42 @@ def test_failed_knots_take_zero_surplus_imputation():
     assert np.allclose(vals[rows], expect, atol=1e-12)
 
 
+def test_reimpute_active_preserves_combination():
+    """The periodic re-imputation sweep must not disturb a consistent active
+    set: it freezes imputation values from the FULL combination and never
+    mutates the set (round-3 regression: rebuilding an index against 'the
+    others' removed a non-maximal index from the downward-closed set, breaking
+    the MISC telescoping — predictions ran away by 12 orders of magnitude)."""
+    def model(inputs):
+        x = np.asarray(inputs["x"], dtype=float)
+        y = np.asarray(inputs["y"], dtype=float)
+        f = 2.0 * x + y
+        return {"f": np.where(x > 0.5, np.nan, f)}
+
+    comp = Component(
+        name="FailCorner",
+        model=model,
+        inputs=[Variable(name="x", domain=(-1.0, 1.0)),
+                Variable(name="y", domain=(-1.0, 1.0))],
+        outputs=[Variable(name="f")],
+        data_fidelity=(2, 2),
+    )
+    surr = ComponentSurrogate(comp)
+    surr.initialize()
+    for kappa in [(1, 0), (0, 1), (1, 1), (2, 0)]:
+        surr.build_interpolant(kappa)
+        surr.activate_index(kappa)
+    xq = np.stack([np.linspace(-1, 0.4, 33), np.linspace(-1, 1, 33)], axis=-1)
+    before = surr._combined_eval(xq, surr.active)
+    active_before = set(surr.active)
+    n = surr.reimpute_active()
+    assert n > 0, "expected repaired interpolants to be swept"
+    assert surr.active == active_before
+    after = surr._combined_eval(xq, surr.active)
+    assert np.all(np.isfinite(after))
+    assert np.allclose(before, after, rtol=1e-8, atol=1e-10)
+
+
 def test_fidelity_ladder_climbs_with_baseline_failures():
     """A model whose ALL fidelity levels fail on the same ~25% of the domain must
     still climb the alpha ladder (round-2 regression: an absolute failure
