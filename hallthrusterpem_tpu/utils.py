@@ -1,7 +1,7 @@
 """Package utilities: device-configuration loading.
 
-Behavioral parity with reference ``src/hallmd/utils.py:12-85`` (``_path_in_dict`` +
-``load_thruster`` with relative->absolute file-path rewriting), plus a packaged
+Behavioral parity with reference ``src/hallmd/utils.py:12-85`` (``load_thruster``
+with relative->absolute file-path rewriting), plus a packaged
 device directory (``hallthrusterpem_tpu/devices``) so ``load_thruster('SPT-100')``
 works out of the box — the reference downloads device data from an external repo at
 test time (``tests/test_thruster.py:28-41``); we ship it.
@@ -23,16 +23,21 @@ def device_dir() -> Path:
     return Path(__file__).parent / "devices"
 
 
-def _path_in_dict(value, data: dict) -> list:
-    """Recursively find ``value`` in a nested dict; return the key path to it."""
-    if isinstance(data, dict):
-        for key, v in data.items():
-            path = _path_in_dict(value, v)
-            if path:
-                return [key] + path
-    elif data == value:
-        return [value]
-    return []
+def _locate_value(target, tree: dict) -> tuple | None:
+    """Depth-first search of a nested dict for a leaf equal to ``target``.
+
+    Returns the key tuple addressing that leaf (so ``tree[k0][k1]...[kN] ==
+    target``), or ``None`` when the value does not appear anywhere. Iterative
+    (explicit stack) so deeply nested configs cannot hit the recursion limit.
+    """
+    stack = [((), tree)]
+    while stack:
+        keys, node = stack.pop()
+        if isinstance(node, dict):
+            stack.extend((keys + (k,), v) for k, v in node.items())
+        elif node == target:
+            return keys
+    return None
 
 
 def load_thruster(thruster_dir: str | Path, thruster_filename: str = "thruster.yml") -> dict:
@@ -58,7 +63,8 @@ def load_thruster(thruster_dir: str | Path, thruster_filename: str = "thruster.y
             config = json.load(fd)
         else:
             raise ValueError(
-                f'Unsupported file type "{thruster_file.suffix}". Only .yml and .json files are supported.'
+                f"Cannot parse device config {thruster_file}: expected a .yml/.yaml or .json suffix, "
+                f"got {thruster_file.suffix!r}"
             )
 
     for root, _, files in os.walk(thruster_dir):
@@ -67,14 +73,14 @@ def load_thruster(thruster_dir: str | Path, thruster_filename: str = "thruster.y
                 continue
             root_path = Path(root) / file
             rel_path = root_path.relative_to(thruster_dir)
-            dict_path = _path_in_dict(rel_path.as_posix(), config)
-            if not dict_path:
-                dict_path = _path_in_dict(file, config)
-            if dict_path:
-                d = config
-                for key in dict_path[:-2]:
-                    d = d[key]
-                d[dict_path[-2]] = root_path.resolve().as_posix()
+            keys = _locate_value(rel_path.as_posix(), config)
+            if keys is None:
+                keys = _locate_value(file, config)
+            if keys:
+                parent = config
+                for key in keys[:-1]:
+                    parent = parent[key]
+                parent[keys[-1]] = root_path.resolve().as_posix()
 
     return config
 

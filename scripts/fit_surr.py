@@ -34,6 +34,9 @@ parser.add_argument("-f", "--fidelity", choices=["multi", "single", "both"], def
 parser.add_argument("--targets", nargs="*", default=None)
 parser.add_argument("-e", "--executor", default="batch", help="(parity flag)")
 parser.add_argument("-c", "--max_workers", type=int, default=None, help="(parity flag)")
+parser.add_argument("-d", "--discard_outliers", action="store_true",
+                    help="drop IQR outliers from the test set (reference fit_surr.py:77-78; "
+                         "default keeps them and only drops NaN failures)")
 
 
 def find_config(base: Path) -> Path:
@@ -46,13 +49,19 @@ def find_config(base: Path) -> Path:
     return candidates[-1]
 
 
-def load_test_set(config_path: Path):
+def load_test_set(config_path: Path, discard_outliers: bool = False):
     pkl = config_path.parent / "test_set.pkl"
     if not pkl.exists():
         return None
     with open(pkl, "rb") as fd:
         d = pickle.load(fd)
-    keep = ~d["discard"]
+    # NaN failures always dropped; IQR outliers only with --discard_outliers
+    # (reference fit_surr.py:250-264). Old pkls carry only the combined mask.
+    if "nan_idx" in d:
+        drop = d["nan_idx"] | (d["outlier_idx"] if discard_outliers else False)
+    else:
+        drop = d["discard"]
+    keep = ~drop
     xt = {k: np.asarray(v)[keep] for k, v in d["samples"].items()}
     yt = {}
     for k, v in d["outputs"].items():
@@ -103,7 +112,7 @@ def main(argv=None):
         path = find_config(path)
     system = System.load_from_file(path)
     system.set_logger(stdout=True)
-    test_set = load_test_set(path)
+    test_set = load_test_set(path, discard_outliers=args.discard_outliers)
 
     histories = train_surrogate(system, args.fidelity, args, test_set)
 

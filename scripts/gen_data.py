@@ -31,6 +31,9 @@ parser.add_argument("-m", "--max_workers", type=int, default=None, help="(parity
 parser.add_argument("-s", "--seed", type=int, default=0)
 parser.add_argument("-o", "--output_dir", default=None)
 parser.add_argument("--iqr_factor", type=float, default=1.5, help="IQR outlier threshold factor")
+parser.add_argument("--discard_outliers", action="store_true",
+                    help="discard IQR outliers in addition to NaN failures (reference "
+                         "gen_data.py:179-213 default: warn about outliers, discard only NaNs)")
 parser.add_argument("--plots", action="store_true", help="save compression/test-set diagnostic plots")
 
 
@@ -78,10 +81,20 @@ def save_plots(system, outputs, discard, out_dir):
         plt.close(fig)
 
 
-def filter_outputs(outputs: dict, iqr_factor: float = 1.5):
-    """NaN + IQR outlier masking (reference ``gen_data.py:125-215`` semantics:
-    a sample is discarded if any scalar output is NaN or an IQR outlier; field
-    outputs count as outliers when >=75% of their points are)."""
+def filter_outputs(outputs: dict, iqr_factor: float = 1.5, skip: set | None = None):
+    """NaN + IQR outlier masks over true model outputs.
+
+    Reference ``gen_data.py:125-215`` semantics: NaN and outlier indices are
+    tracked separately; only *output* variables are screened (the reference
+    normalizes ``system.outputs()`` before filtering, so input passthroughs never
+    reach the filter — a linear-space IQR on a log-uniform input would flag its
+    entire upper decades). Field outputs count as outliers when >=75% of their
+    points are.
+
+    :param skip: variable names to exclude from screening (e.g. the system inputs).
+    :returns: ``(nan_idx, outlier_idx)`` boolean arrays of shape ``(n,)``.
+    """
+    skip = skip or set()
     n = None
     for v in outputs.values():
         arr = np.asarray(v)
@@ -89,12 +102,13 @@ def filter_outputs(outputs: dict, iqr_factor: float = 1.5):
             n = arr.shape[0]
             break
     if n is None:
-        return np.zeros(0, dtype=bool)
+        return np.zeros(0, dtype=bool), np.zeros(0, dtype=bool)
     nan_idx = np.zeros(n, dtype=bool)
     outlier_idx = np.zeros(n, dtype=bool)
     for key, v in outputs.items():
         arr = np.asarray(v)
-        if arr.dtype.kind != "f" or arr.ndim == 0 or arr.shape[0] != n or key.endswith("_coords"):
+        if (arr.dtype.kind != "f" or arr.ndim == 0 or arr.shape[0] != n
+                or key.endswith("_coords") or key in skip or key == "model_cost"):
             continue
         flat = arr.reshape(n, -1)
         nan_idx |= ~np.isfinite(flat).all(axis=1)
@@ -104,20 +118,25 @@ def filter_outputs(outputs: dict, iqr_factor: float = 1.5):
             out = (flat < q1 - iqr_factor * iqr) | (flat > q3 + iqr_factor * iqr)
         frac_needed = 0.75 if flat.shape[1] > 1 else 1.0
         outlier_idx |= out.mean(axis=1) >= frac_needed
-    return nan_idx | outlier_idx
+    return nan_idx, outlier_idx
 
 
-def generate_data(system, n, seed, tag, out_dir, iqr_factor=1.5):
+def generate_data(system, n, seed, tag, out_dir, iqr_factor=1.5, discard_outliers=False):
     samples = system.sample_inputs(n, seed=seed, use_pdf=["calibration", "nuisance"])
     outputs = system.predict(samples, use_model="best")
     samples = {k: np.asarray(v) for k, v in samples.items()}
     # keep numeric batch arrays only (drop raw solver trees, paths, etc.)
     outputs = {k: np.asarray(v) for k, v in outputs.items()
                if np.asarray(v).dtype.kind == "f" and np.asarray(v).ndim >= 1}
-    discard = filter_outputs(outputs, iqr_factor)
-    system.logger.info("%s: %d/%d samples kept", tag, n - discard.sum(), n)
+    nan_idx, outlier_idx = filter_outputs(outputs, iqr_factor, skip=set(samples))
+    discard = (nan_idx | outlier_idx) if discard_outliers else nan_idx.copy()
+    if outlier_idx.any():
+        system.logger.warning("%s: %d/%d IQR outliers detected%s", tag, outlier_idx.sum(), n,
+                              " (discarded)" if discard_outliers else " (kept; --discard_outliers to drop)")
+    system.logger.info("%s: %d/%d samples kept (%d NaN-failed)", tag, n - discard.sum(), n, nan_idx.sum())
     with open(out_dir / f"{tag}.pkl", "wb") as fd:
-        pickle.dump({"samples": samples, "outputs": outputs, "discard": discard}, fd)
+        pickle.dump({"samples": samples, "outputs": outputs, "discard": discard,
+                     "nan_idx": nan_idx, "outlier_idx": outlier_idx}, fd)
     return samples, outputs, discard
 
 
@@ -150,8 +169,10 @@ def main(argv=None):
     out_dir.mkdir(parents=True, exist_ok=True)
     system.root_dir = out_dir
 
-    _, outputs, discard = generate_data(system, args.num_samples, args.seed, "compression", out_dir, args.iqr_factor)
-    generate_data(system, args.test_samples, args.seed + 1, "test_set", out_dir, args.iqr_factor)
+    _, outputs, discard = generate_data(system, args.num_samples, args.seed, "compression", out_dir,
+                                        args.iqr_factor, args.discard_outliers)
+    generate_data(system, args.test_samples, args.seed + 1, "test_set", out_dir,
+                  args.iqr_factor, args.discard_outliers)
     process_compression(system, outputs, discard)
     path = system.save_to_file(f"{system.name}_compression.yml", out_dir)
     system.logger.info("saved %s", path)

@@ -235,3 +235,25 @@ def test_monte_carlo_experimental_comparison(workdir, monkeypatch, capsys):
     assert "rel-L2 surrogate vs data" in out and "rel-L2 model vs data" in out
     assert "u_ion (field, vs data)" in out
     assert "MISC allocation" in out
+
+
+def test_filter_outputs_reference_semantics():
+    """NaN-only discard by default; IQR screens outputs only, never inputs
+    (reference gen_data.py:125-215 filters normalized system.outputs();
+    discard_outliers defaults to False at gen_data.py:179-213)."""
+    import gen_data
+
+    rng = np.random.default_rng(0)
+    n = 400
+    # log-uniform input passthrough spanning 4 decades: a linear IQR would flag its tails
+    c4 = 10 ** rng.uniform(18, 22, n)
+    y = rng.normal(1.0, 0.1, n)
+    y[7] = np.nan          # genuine failure
+    y[11] = 50.0           # genuine outlier
+    outputs = {"c4": c4, "T": y}
+    nan_idx, outlier_idx = gen_data.filter_outputs(outputs, 1.5, skip={"c4"})
+    assert nan_idx.sum() == 1 and nan_idx[7]
+    assert outlier_idx[11] and not outlier_idx[7]
+    # without skip, the input's decades-wide tail would dominate the outlier mask
+    _, out_all = gen_data.filter_outputs(outputs, 1.5)
+    assert out_all.sum() > 50  # documents why inputs must be excluded

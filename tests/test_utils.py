@@ -4,13 +4,13 @@ from pathlib import Path
 
 import numpy as np
 
-from hallthrusterpem_tpu.utils import _path_in_dict, device_dir, load_thruster
+from hallthrusterpem_tpu.utils import _locate_value, device_dir, load_thruster
 
 
-def test_path_in_dict():
+def test_locate_value():
     data = {"a": {"b": {"c": "target.csv"}}, "x": 1}
-    assert _path_in_dict("target.csv", data) == ["a", "b", "c", "target.csv"]
-    assert _path_in_dict("missing", data) == []
+    assert _locate_value("target.csv", data) == ("a", "b", "c")
+    assert _locate_value("missing", data) is None
 
 
 def test_load_synthetic_device(tmp_path: Path):
