@@ -39,6 +39,7 @@ class System:
         self.name = name
         self.root_dir = Path(root_dir) if root_dir else None
         self.train_history: list[dict] = []
+        self.system_surrogate = None  # optional end-to-end surrogate (surrogate.mlp)
         self.logger = logging.getLogger(f"hallthrusterpem_tpu.{name}")
         self._link_variables()
         self._topo_sort()
@@ -251,6 +252,16 @@ class System:
             var = variables.get(name)
             data[name] = var.denormalize(value) if (normalized and var is not None) else value
 
+        # a trained system-level surrogate (e.g. the MLP ensemble) replaces the whole
+        # coupled chain on the surrogate path
+        if use_model is None and self.system_surrogate is not None:
+            out = self.system_surrogate.predict(data, training=training, qoi_ind=qoi_ind)
+            data.update(out)
+            if qoi_ind is not None:
+                keep = set(qoi_ind) | {f"{q}_coords" for q in qoi_ind}
+                return {k: v for k, v in data.items() if k in keep}
+            return data
+
         for comp in self.components:
             batch = {n: data[n] for n in comp.input_names() if n in data}
             missing = [n for n in comp.input_names() if n not in data]
@@ -295,6 +306,8 @@ class System:
         loop. Every component must have a trained surrogate. Compressed field
         outputs come back as latent coefficients, same as :meth:`predict`.
         """
+        if self.system_surrogate is not None:
+            return self.system_surrogate.as_jax_fn(training=training, qoi_ind=qoi_ind)
         chain = []
         for comp in self.components:
             if comp.surrogate is None:
@@ -326,6 +339,7 @@ class System:
         """Drop all trained surrogate state (reference ``fit_surr.py:144``)."""
         for comp in self.components:
             comp.surrogate = None
+        self.system_surrogate = None
         self.train_history = []
 
     def load_training_cache(self, path) -> int:

@@ -213,6 +213,9 @@ def _collect_state(system: System) -> dict:
         if comp.surrogate is not None:
             state["surrogates"][comp.name] = comp.surrogate.to_state()
             has_any = True
+    if system.system_surrogate is not None:
+        state["system_surrogate"] = system.system_surrogate.to_state()
+        has_any = True
     return state if has_any else {}
 
 
@@ -235,3 +238,9 @@ def _load_state(system: System, sidecar: Path):
 
             comp.surrogate = ComponentSurrogate.from_state(sstate, comp)
     system.train_history = state.get("train_history", [])
+    sys_state = state.get("system_surrogate")
+    if sys_state is not None:
+        from hallthrusterpem_tpu.surrogate.mlp import MLPSurrogate
+
+        # compression maps were restored above, so the layout is reproducible
+        system.system_surrogate = MLPSurrogate.from_state(sys_state, system)

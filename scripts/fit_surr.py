@@ -37,6 +37,15 @@ parser.add_argument("-c", "--max_workers", type=int, default=None, help="(parity
 parser.add_argument("-d", "--discard_outliers", action="store_true",
                     help="drop IQR outliers from the test set (reference fit_surr.py:77-78; "
                          "default keeps them and only drops NaN failures)")
+parser.add_argument("--surrogate", choices=["misc", "mlp"], default="misc",
+                    help="surrogate backend: adaptive MISC (reference parity) or the "
+                         "TPU-native system-level MLP ensemble (surrogate/mlp.py)")
+parser.add_argument("--mlp-samples", type=int, default=16384, help="training samples for --surrogate mlp")
+parser.add_argument("--mlp-steps", type=int, default=6000)
+parser.add_argument("--mlp-hidden", type=int, nargs="*", default=[256, 256, 256])
+parser.add_argument("--mlp-ensemble", type=int, default=8)
+parser.add_argument("--mlp-chunk", type=int, default=1024, help="eval chunk for resumable data generation")
+parser.add_argument("--mlp-seed", type=int, default=7)
 
 
 def find_config(base: Path) -> Path:
@@ -105,6 +114,28 @@ def train_surrogate(system, fidelity: str, args, test_set):
     return histories
 
 
+def train_mlp(system, args, test_set, config_path: Path):
+    """System-level MLP-ensemble fit: generate (or resume) a labeled prior sample,
+    train, report held-out rel-L2 per QoI."""
+    from hallthrusterpem_tpu.surrogate.mlp import MLPSurrogate, generate_training_data
+
+    cache = config_path.parent / f"{system.name}_mlp_train_data.pkl"
+    samples, outputs = generate_training_data(
+        system, args.mlp_samples, seed=args.mlp_seed, chunk=args.mlp_chunk, cache_path=cache)
+    surr = MLPSurrogate(system, hidden=tuple(args.mlp_hidden), ensemble=args.mlp_ensemble,
+                        seed=args.mlp_seed)
+    info = surr.fit(samples, outputs, steps=args.mlp_steps)
+    system.system_surrogate = surr
+    print(f"=== mlp: {info['n_train']} train samples ({info['fail_frac']:.1%} solver failures), "
+          f"val rmse {info.get('val_rmse', float('nan')):.4f}, "
+          f"fail-classifier acc {info.get('val_fail_acc', float('nan')):.3f}")
+    if test_set is not None:
+        errors = surr.test_errors(*test_set, targets=args.targets)
+        for k, v in sorted(errors.items()):
+            print(f"  test rel-L2 {k}: {v:.4f}")
+    return surr
+
+
 def main(argv=None):
     args = parser.parse_args(argv)
     path = Path(args.config_file)
@@ -113,6 +144,11 @@ def main(argv=None):
     system = System.load_from_file(path)
     system.set_logger(stdout=True)
     test_set = load_test_set(path, discard_outliers=args.discard_outliers)
+
+    if args.surrogate == "mlp":
+        train_mlp(system, args, test_set, path)
+        system.save_to_file(f"{system.name}_trained.yml", path.parent)
+        return
 
     histories = train_surrogate(system, args.fidelity, args, test_set)
 

@@ -257,3 +257,47 @@ def test_filter_outputs_reference_semantics():
     # without skip, the input's decades-wide tail would dominate the outlier mask
     _, out_all = gen_data.filter_outputs(outputs, 1.5)
     assert out_all.sum() > 50  # documents why inputs must be excluded
+
+
+def test_mlp_surrogate_pipeline(workdir):
+    """--surrogate mlp: data gen (resumable), training, rel-L2 report, yml round-trip,
+    on-device prediction path (System.as_jax_fn dispatches to the MLP)."""
+    import gen_data
+    import fit_surr
+    import jax
+
+    cfg = str(workdir / "fake_pem.yml")
+    gen_data.main([cfg, "-c", "48", "-t", "64"])
+    comp_yml = workdir / "amisc_data" / "fake-pem_compression.yml"
+
+    fit_surr.main([str(comp_yml), "--surrogate", "mlp", "--mlp-samples", "512",
+                   "--mlp-steps", "2000", "--mlp-hidden", "64", "64",
+                   "--mlp-ensemble", "3", "--mlp-chunk", "256"])
+    # chunked data generation cached for resume
+    assert (workdir / "amisc_data" / "fake-pem_mlp_train_data.pkl").exists()
+
+    from hallthrusterpem_tpu.core.system import System
+
+    s2 = System.load_from_file(workdir / "amisc_data" / "fake-pem_trained.yml")
+    assert s2.system_surrogate is not None
+
+    # the fake PEM is a smooth analytic map: the MLP must fit it well
+    import pickle
+    with open(workdir / "amisc_data" / "test_set.pkl", "rb") as fd:
+        d = pickle.load(fd)
+    keep = ~d["discard"]
+    xt = {k: v[keep] for k, v in d["samples"].items()}
+    yt = {k: np.asarray(v)[keep] for k, v in d["outputs"].items()}
+    errors = s2.system_surrogate.test_errors(xt, yt)
+    assert errors["T"] < 0.15, errors
+    assert errors["I_d"] < 0.15, errors
+
+    # surrogate path through System.predict and the jittable fn agree
+    fresh = s2.sample_inputs(8, seed=3)
+    out_host = s2.predict(fresh, use_model=None)
+    fn = jax.jit(s2.as_jax_fn())
+    out_dev = fn({k: np.asarray(v) for k, v in fresh.items()})
+    np.testing.assert_allclose(np.asarray(out_host["T"]), np.asarray(out_dev["T"]), rtol=1e-5)
+    assert "sys_fail_prob" in out_dev
+    # the fake model never fails: classifier should say so
+    assert float(np.asarray(out_dev["sys_fail_prob"]).max()) < 0.5
