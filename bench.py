@@ -2,27 +2,33 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Headline metric (BASELINE.json): coupled PEM evaluations/sec/chip for a
-1024-sample Monte Carlo at the pem_v0 operating envelope. The reference executes
-one HallThruster.jl subprocess per sample with 64-way parallelism.
+Headline metric: simulated milliseconds of coupled-PEM physics per wall second
+per chip, for a 1024-sample Monte Carlo at the pem_v0 operating envelope —
+``batch * sim_duration_ms / wall``. Normalizing per simulated millisecond makes
+the number invariant to the benchmark's sim-duration knob, so the comparison
+against the baseline is apples-to-apples by construction (rounds 1-3 reported
+evals/s at a 0.5 ms sim against a baseline charged for full 2 ms sims, which
+flattered the ratio ~4x; this metric closes that asterisk).
 
-Baseline anchor (round 3): the per-sim CPU cost is bracketed two ways.
+Baseline anchor: the reference executes one HallThruster.jl subprocess per
+sample, 64-way parallel, and its pem_v0 sim duration is 2 ms
+(reference pem_v0_SPT-100.yml:100). Its per-sim CPU cost is bracketed two ways:
 (a) Measured: this repo's own lax CPU path — the same 200-cell/3-charge/
     CFL-dt physics, jit-compiled, single core — takes 152 s per 2 ms sim on
     this machine (`taskset -c 0 python scripts/diagnose_current.py --cpu`,
-    2026-08-17; ~176 us/step). A 2 ms run is the reference pem_v0
-    ``simulation.duration`` (pem_v0_SPT-100.yml:100).
+    2026-08-17; ~176 us/step).
 (b) Public claim: HallThruster.jl advertises ~O(minute) wall for SPT-100-class
     cases (Marks et al., JOSS 2023, "simulations run in about a minute").
-We charge the baseline the CHARITABLE end of that bracket: 30 s/sim — 5x
-faster than our measured comparable CPU solve — so ``vs_baseline`` is a
-conservative lower bound: 64-way x 30 s/sim -> 64/30 ≈ 2.13 evals/s.
+We charge the baseline the CHARITABLE end of that bracket: 30 s per 2 ms sim —
+5x faster than our measured comparable CPU solve — so ``vs_baseline`` is a
+conservative lower bound: 64-way x (2 ms / 30 s) ≈ 4.27 sim-ms/s.
 
 The physics workload per eval: 200-cell, 3-charge-state discharge solve,
-dt from the CFL contract (reference thruster.py:140-181), 0.5 ms simulated time
-(~230k timesteps) with time-averaged QoIs, plus the analytic cathode/plume models
-— all as ONE jitted vmapped XLA program (AOT-compiled explicitly; the remote TPU
-runtime here is more reliable on the AOT path).
+dt from the CFL contract (reference thruster.py:140-181), time-averaged QoIs,
+plus the analytic cathode/plume models — all as ONE jitted vmapped XLA program
+(AOT-compiled explicitly; the remote TPU runtime here is more reliable on the
+AOT path). The stderr line reports the legacy evals/s and the 2 ms-sim
+equivalent for cross-round continuity.
 
 Env knobs: BENCH_BATCH (default 1024), BENCH_DURATION (default 5e-4 s),
 BENCH_FIDELITY (default "2,2").
@@ -35,7 +41,8 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/hallthrusterpem_tpu_jax_cache")
 
-REFERENCE_EVALS_PER_SEC = 64.0 / 30.0  # 64-way HallThruster.jl CPU (BASELINE.md)
+# 64-way HallThruster.jl CPU at 30 s per 2 ms sim (BASELINE.md)
+REFERENCE_SIM_MS_PER_SEC = 64.0 * 2.0 / 30.0
 
 
 def _run_once(batch: int, duration: float, fidelity: tuple):
@@ -81,14 +88,16 @@ def main():
         try:
             wall, n_ok, mean_T = _run_once(batch_i, dur_i, fid_i)
             evals_per_sec = batch_i / wall
+            sim_ms_per_sec = evals_per_sec * dur_i * 1e3
             print(json.dumps({
-                "metric": "coupled_pem_evals_per_sec_per_chip",
-                "value": round(evals_per_sec, 3),
-                "unit": f"evals/s/chip (batch={batch_i}, fidelity={fid_i}, {dur_i:.0e}s sim)",
-                "vs_baseline": round(evals_per_sec / REFERENCE_EVALS_PER_SEC, 2),
+                "metric": "coupled_pem_sim_ms_per_sec_per_chip",
+                "value": round(sim_ms_per_sec, 3),
+                "unit": f"sim-ms/s/chip (batch={batch_i}, fidelity={fid_i}, {dur_i:.0e}s sim)",
+                "vs_baseline": round(sim_ms_per_sec / REFERENCE_SIM_MS_PER_SEC, 2),
             }))
-            print(f"# wall={wall:.2f}s, {n_ok}/{batch_i} finite, mean T={mean_T * 1e3:.1f} mN",
-                  file=sys.stderr)
+            print(f"# wall={wall:.2f}s, {n_ok}/{batch_i} finite, mean T={mean_T * 1e3:.1f} mN, "
+                  f"{evals_per_sec:.1f} evals/s at {dur_i * 1e3:.1f} ms sim "
+                  f"(= {sim_ms_per_sec / 2:.1f} full-2ms evals/s)", file=sys.stderr)
             return
         except Exception as err:  # noqa: BLE001 — remote TPU runtime can be flaky
             last_err = err

@@ -178,6 +178,8 @@ class System:
         use_pdf: Iterable[str] | bool = (),
         nominal: Optional[dict] = None,
         constants: Iterable[str] = (),
+        domain_filter=None,
+        max_rejection_rounds: int = 50,
     ) -> Dataset:
         """Sample the exogenous inputs (reference semantics at ``gen_data.py:238``
         and the legacy nominal/constants form at ``mcmc.py:64``).
@@ -189,6 +191,11 @@ class System:
             the values used for ``constants``)
         :param constants: categories (or variable names) frozen at their nominal
         :param normalize: return values in normalized space
+        :param domain_filter: optional ``samples dict -> bool keep-mask`` callable
+            (e.g. a trained :class:`~hallthrusterpem_tpu.surrogate.domain.
+            FailureClassifier` bound via ``make_domain_filter``); rejected draws
+            are resampled so the returned batch lies in the surviving domain
+        :param max_rejection_rounds: resampling-round cap for ``domain_filter``
         """
         import jax
 
@@ -200,20 +207,52 @@ class System:
         use_pdf = set(self._category_set(use_pdf))
         constants = set(self._category_set(constants))
 
-        samples: Dataset = {}
-        variables = self.inputs()
-        keys = jax.random.split(key, max(len(variables), 1))
-        for var, k in zip(variables, keys):
-            nom = nominal.get(var.name, var.nominal)
-            if var.category in constants or var.name in constants:
-                if nom is None:
-                    raise ValueError(f"Variable {var.name} frozen as constant but has no nominal")
-                value = jax.numpy.full(shape, float(nom))
-            elif var.category in use_pdf or var.name in use_pdf:
-                value = var.sample(k, shape, nominal=nom)
-            else:
-                value = var.sample_domain(k, shape)
-            samples[var.name] = var.normalize(value) if normalize else value
+        def draw(key, shape) -> Dataset:
+            samples: Dataset = {}
+            variables = self.inputs()
+            keys = jax.random.split(key, max(len(variables), 1))
+            for var, k in zip(variables, keys):
+                nom = nominal.get(var.name, var.nominal)
+                if var.category in constants or var.name in constants:
+                    if nom is None:
+                        raise ValueError(f"Variable {var.name} frozen as constant but has no nominal")
+                    value = jax.numpy.full(shape, float(nom))
+                elif var.category in use_pdf or var.name in use_pdf:
+                    value = var.sample(k, shape, nominal=nom)
+                else:
+                    value = var.sample_domain(k, shape)
+                samples[var.name] = value
+            return samples
+
+        samples = draw(key, shape)
+        if domain_filter is not None:
+            # rejection-sample the trimmed domain: rows failing the filter are
+            # redrawn until the whole batch survives (or the round cap trips)
+            import numpy as np
+
+            flat = {k: np.array(v).reshape(-1) for k, v in samples.items()}
+            n = next(iter(flat.values())).size
+            keep = np.asarray(domain_filter(flat), dtype=bool)
+            rounds = 0
+            while not keep.all():
+                rounds += 1
+                if rounds > max_rejection_rounds:
+                    frac = float(keep.mean())
+                    raise RuntimeError(
+                        f"domain_filter accepted only {frac:.1%} after "
+                        f"{max_rejection_rounds} rounds; the trimmed domain is too small")
+                key, sub = jax.random.split(key)
+                bad = np.flatnonzero(~keep)
+                redraw = draw(sub, (bad.size,))
+                for name, v in redraw.items():
+                    flat[name][bad] = np.asarray(v)
+                sub_keep = np.asarray(domain_filter({k: v[bad] for k, v in flat.items()}), dtype=bool)
+                keep[bad] = sub_keep
+            samples = {k: v.reshape(shape) for k, v in flat.items()}
+
+        variables = {v.name: v for v in self.inputs()}
+        if normalize:
+            samples = {k: variables[k].normalize(v) for k, v in samples.items()}
         return samples
 
     def _category_set(self, spec) -> set:

@@ -45,7 +45,8 @@ __all__ = ["MLPSurrogate", "generate_training_data"]
 
 
 def generate_training_data(system, n: int, seed: int = 0, chunk: int = 1024,
-                           cache_path=None, use_pdf=("calibration", "nuisance")) -> tuple[dict, dict]:
+                           cache_path=None, use_pdf=("calibration", "nuisance"),
+                           domain_filter=None) -> tuple[dict, dict]:
     """Sample the prior and label ``n`` points with the true coupled model, in
     resumable chunks.
 
@@ -55,7 +56,7 @@ def generate_training_data(system, n: int, seed: int = 0, chunk: int = 1024,
     subprocess checkpointing (reference ``gen_data.py:236-259`` persists every
     model output file).
     """
-    samples = system.sample_inputs(n, seed=seed, use_pdf=list(use_pdf))
+    samples = system.sample_inputs(n, seed=seed, use_pdf=list(use_pdf), domain_filter=domain_filter)
     samples = {k: np.asarray(v) for k, v in samples.items()}
     done, outputs = 0, {}
     if cache_path is not None and Path(cache_path).exists():

@@ -46,6 +46,9 @@ parser.add_argument("--mlp-hidden", type=int, nargs="*", default=[256, 256, 256]
 parser.add_argument("--mlp-ensemble", type=int, default=8)
 parser.add_argument("--mlp-chunk", type=int, default=1024, help="eval chunk for resumable data generation")
 parser.add_argument("--mlp-seed", type=int, default=7)
+parser.add_argument("--trim", default=None,
+                    help="domain classifier pickle (scripts/trim_domain.py): restrict "
+                         "--surrogate mlp training-data sampling to the surviving domain")
 
 
 def find_config(base: Path) -> Path:
@@ -119,9 +122,15 @@ def train_mlp(system, args, test_set, config_path: Path):
     train, report held-out rel-L2 per QoI."""
     from hallthrusterpem_tpu.surrogate.mlp import MLPSurrogate, generate_training_data
 
+    domain_filter = None
+    if args.trim:
+        from hallthrusterpem_tpu.surrogate.domain import FailureClassifier, make_domain_filter
+
+        domain_filter = make_domain_filter(FailureClassifier.load(args.trim), system)
     cache = config_path.parent / f"{system.name}_mlp_train_data.pkl"
     samples, outputs = generate_training_data(
-        system, args.mlp_samples, seed=args.mlp_seed, chunk=args.mlp_chunk, cache_path=cache)
+        system, args.mlp_samples, seed=args.mlp_seed, chunk=args.mlp_chunk, cache_path=cache,
+        domain_filter=domain_filter)
     surr = MLPSurrogate(system, hidden=tuple(args.mlp_hidden), ensemble=args.mlp_ensemble,
                         seed=args.mlp_seed)
     info = surr.fit(samples, outputs, steps=args.mlp_steps)

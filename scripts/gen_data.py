@@ -35,6 +35,9 @@ parser.add_argument("--discard_outliers", action="store_true",
                     help="discard IQR outliers in addition to NaN failures (reference "
                          "gen_data.py:179-213 default: warn about outliers, discard only NaNs)")
 parser.add_argument("--plots", action="store_true", help="save compression/test-set diagnostic plots")
+parser.add_argument("--trim", default=None,
+                    help="path to a trained domain classifier (scripts/trim_domain.py): "
+                         "reject-sample the prior to the predicted-surviving domain")
 
 
 def save_plots(system, outputs, discard, out_dir):
@@ -121,8 +124,10 @@ def filter_outputs(outputs: dict, iqr_factor: float = 1.5, skip: set | None = No
     return nan_idx, outlier_idx
 
 
-def generate_data(system, n, seed, tag, out_dir, iqr_factor=1.5, discard_outliers=False):
-    samples = system.sample_inputs(n, seed=seed, use_pdf=["calibration", "nuisance"])
+def generate_data(system, n, seed, tag, out_dir, iqr_factor=1.5, discard_outliers=False,
+                  domain_filter=None):
+    samples = system.sample_inputs(n, seed=seed, use_pdf=["calibration", "nuisance"],
+                                   domain_filter=domain_filter)
     outputs = system.predict(samples, use_model="best")
     samples = {k: np.asarray(v) for k, v in samples.items()}
     # keep numeric batch arrays only (drop raw solver trees, paths, etc.)
@@ -169,10 +174,17 @@ def main(argv=None):
     out_dir.mkdir(parents=True, exist_ok=True)
     system.root_dir = out_dir
 
+    domain_filter = None
+    if args.trim:
+        from hallthrusterpem_tpu.surrogate.domain import FailureClassifier, make_domain_filter
+
+        domain_filter = make_domain_filter(FailureClassifier.load(args.trim), system)
+        system.logger.info("trimming prior with domain classifier %s", args.trim)
+
     _, outputs, discard = generate_data(system, args.num_samples, args.seed, "compression", out_dir,
-                                        args.iqr_factor, args.discard_outliers)
+                                        args.iqr_factor, args.discard_outliers, domain_filter)
     generate_data(system, args.test_samples, args.seed + 1, "test_set", out_dir,
-                  args.iqr_factor, args.discard_outliers)
+                  args.iqr_factor, args.discard_outliers, domain_filter)
     process_compression(system, outputs, discard)
     path = system.save_to_file(f"{system.name}_compression.yml", out_dir)
     system.logger.info("saved %s", path)

@@ -1,0 +1,147 @@
+"""On-hardware Pallas<->lax parity artifact.
+
+CI runs the kernel-parity suite in interpret mode on CPU (tests/test_pallas.py)
+— which cannot see Mosaic codegen differences. This script runs the SAME
+physics through both backends ON THE REAL DEVICE at the production operating
+envelope (nominal + corner configs, fixed seeds) and writes a versioned
+pass/fail artifact (``runs/r4/parity_tpu.json``) that
+``tests/test_parity_artifact.py`` validates.
+
+Divergent failure masks on basin-boundary samples are expected physics (the
+cold-dense attractor study, docs/validation.md: numerically-equivalent paths
+can tip different marginal samples over a 2 ms horizon) — the artifact
+records the mask-agreement count with a small tolerance, and QoI errors are
+compared over the rows finite in BOTH backends.
+
+Usage: python scripts/parity_tpu.py [-o runs/r4/parity_tpu.json] [-B 32]
+"""
+
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # repo root
+
+import argparse
+import json
+import os
+import time
+from datetime import date
+from pathlib import Path
+
+import numpy as np
+
+# QoI tolerances on commonly-finite rows. Labels are cycle-averaged and
+# window-noise <=0.5% (docs/validation.md round-3 probe); backend divergence
+# beyond a few percent on a *median* sample would flag real codegen drift.
+TOLERANCES = {
+    "T": {"median": 0.01, "max": 0.05},
+    "I_d": {"median": 0.02, "max": 0.10},
+    "I_B0": {"median": 0.02, "max": 0.10},
+}
+MIN_MASK_AGREEMENT = 0.9  # fraction of samples whose finite-mask must agree
+
+CONFIGS = [
+    {"name": "nominal_300V_5.16mg", "V_a": 300.0, "mdot_a": 5.16e-6, "P_b": 1e-5},
+    {"name": "low_flow_250V_3.5mg", "V_a": 250.0, "mdot_a": 3.5e-6, "P_b": 5e-6},
+    {"name": "high_V_400V_high_Pb", "V_a": 400.0, "mdot_a": 5.16e-6, "P_b": 3e-5},
+    # quench-adjacent corner: low flow + weak anomalous transport exercises the
+    # physicality guards and the failure-mask agreement accounting
+    {"name": "quench_corner_low_a1", "V_a": 280.0, "mdot_a": 3.0e-6, "P_b": 1e-5,
+     "a_1": 0.004},
+]
+
+
+def run_config(cond: dict, batch: int, seed: int, fidelity=(2, 2)) -> dict:
+    import jax
+
+    from hallthrusterpem_tpu.models.thruster import hallthruster_jl
+
+    rng = np.random.default_rng(seed)
+    inputs = {
+        "P_b": np.full(batch, cond["P_b"], np.float64),
+        "V_a": cond["V_a"] * (1 + 0.04 * rng.standard_normal(batch)),
+        "mdot_a": cond["mdot_a"] * (1 + 0.04 * rng.standard_normal(batch)),
+        "V_cc": np.full(batch, 30.0),
+        "u_n": 141.24 * (1 + 0.05 * rng.standard_normal(batch)),
+        "a_1": cond.get("a_1", 0.0068) * (1 + 0.1 * rng.standard_normal(batch)),
+        "a_2": np.full(batch, 14.645 * cond.get("a_1", 0.0068)),
+        "dz": np.full(batch, 0.4),
+        "z0": np.full(batch, -0.03104),
+        "p0": np.full(batch, 56.86e-6),
+    }
+
+    results = {}
+    for backend in ("lax", "pallas"):
+        os.environ["HTPEM_SOLVER"] = backend
+        t0 = time.time()
+        out = hallthruster_jl(inputs, thruster="SPT-100", model_fidelity=fidelity,
+                              simulation={"duration": 2e-3},
+                              postprocess={"average_start_time": 1e-3,
+                                           "cycle_average": True, "num_save": 256})
+        results[backend] = ({k: np.asarray(v) for k, v in out.items()}, time.time() - t0)
+    os.environ.pop("HTPEM_SOLVER", None)
+
+    lax_out, lax_s = results["lax"]
+    pl_out, pl_s = results["pallas"]
+    entry = {"condition": cond, "batch": batch, "seed": seed,
+             "wall_s": {"lax": round(lax_s, 2), "pallas": round(pl_s, 2)}, "qois": {}}
+
+    fin_l = np.isfinite(lax_out["T"])
+    fin_p = np.isfinite(pl_out["T"])
+    agree = float((fin_l == fin_p).mean())
+    both = fin_l & fin_p
+    entry["finite"] = {"lax": int(fin_l.sum()), "pallas": int(fin_p.sum()),
+                       "mask_agreement": round(agree, 4), "both": int(both.sum())}
+    ok = agree >= MIN_MASK_AGREEMENT and both.sum() > 0
+    for qoi, tol in TOLERANCES.items():
+        if qoi not in lax_out or not both.any():
+            continue
+        a, b = lax_out[qoi][both], pl_out[qoi][both]
+        rel = np.abs(a - b) / np.maximum(np.abs(a), 1e-12)
+        rec = {"median_rel": float(np.median(rel)), "max_rel": float(rel.max()),
+               "tol_median": tol["median"], "tol_max": tol["max"],
+               "pass": bool(np.median(rel) < tol["median"] and rel.max() < tol["max"])}
+        entry["qois"][qoi] = rec
+        ok = ok and rec["pass"]
+    entry["pass"] = bool(ok)
+    return entry
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("-o", "--output", default="runs/r4/parity_tpu.json")
+    parser.add_argument("-B", "--batch", type=int, default=32)
+    parser.add_argument("--seed", type=int, default=11)
+    args = parser.parse_args(argv)
+
+    import jax
+
+    device = jax.devices()[0]
+    artifact = {
+        "date": date.today().isoformat(),
+        "device": str(device.device_kind),
+        "platform": device.platform,
+        "min_mask_agreement": MIN_MASK_AGREEMENT,
+        "configs": [],
+    }
+    if device.platform not in ("tpu", "axon"):
+        print(f"WARNING: running on {device.platform}, not TPU — artifact marked non-hardware",
+              file=_sys.stderr)
+    for cond in CONFIGS:
+        entry = run_config(cond, args.batch, args.seed)
+        artifact["configs"].append(entry)
+        print(f"{cond['name']}: pass={entry['pass']} "
+              f"finite l/p={entry['finite']['lax']}/{entry['finite']['pallas']} "
+              f"{ {k: round(v['max_rel'], 4) for k, v in entry['qois'].items()} }")
+    artifact["pass"] = all(e["pass"] for e in artifact["configs"])
+
+    out = Path(args.output)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    with open(out, "w") as fd:
+        json.dump(artifact, fd, indent=1)
+    print(f"{'PASS' if artifact['pass'] else 'FAIL'} -> {out}")
+    return 0 if artifact["pass"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -57,9 +57,12 @@ parser.add_argument("--qois", nargs="*", default=["V_cc", "T", "I_d"],
 parser.add_argument("--id-penalty", type=float, default=2.0,
                     help="extra weight on the discharge-current misfit (reference mcmc.py:95-104)")
 parser.add_argument("--on-device", action="store_true",
-                    help="evaluate the log-posterior as ONE jitted device program over the "
-                         "whole walker ensemble (System.as_jax_fn; SURVEY.md §3.4). Requires "
-                         "a trained surrogate for every component and --noise-samples 1.")
+                    help="(default when a trained surrogate is available) evaluate the "
+                         "log-posterior as ONE jitted device program over the whole walker "
+                         "ensemble (System.as_jax_fn; SURVEY.md §3.4)")
+parser.add_argument("--host", action="store_true",
+                    help="force the host-NumPy posterior path (per-step system.predict); "
+                         "the device path is the default for surrogate posteriors")
 
 
 def load_system(args) -> System:
@@ -205,23 +208,31 @@ def build_device_posterior(system, args, calib, names, ops, obs, sig, fields):
     import jax
     import jax.numpy as jnp
 
-    if max(1, args.noise_samples) > 1:
-        raise SystemExit("--on-device requires --noise-samples 1 (logsumexp noise "
-                         "marginalization draws host randomness per call)")
+    M = max(1, args.noise_samples)
     n_ops = len(next(iter(ops.values())))
     qoi_list = list(obs) + list(fields)
     fn = system.as_jax_fn(training=True, qoi_ind=qoi_list)
 
-    # static per-condition inputs (everything but the calibration parameters)
+    # static per-(noise-sample, condition) inputs, flattened to (M * n_ops,).
+    # With M > 1, operating/nuisance jitter uses FIXED common-random-number
+    # draws made once at build time — the same noise set for every likelihood
+    # call keeps the posterior a deterministic device program while still
+    # marginalizing condition noise by logsumexp (reference mcmc.py:103-104
+    # redraws per call; CRN is the standard pseudo-marginal variance reduction)
     static = {}
+    key = jax.random.PRNGKey(2024)
     for v in system.inputs():
         if v.name in names:
             continue
         if v.name in ops:
-            static[v.name] = jnp.asarray(ops[v.name], jnp.float32)
+            base = np.tile(np.asarray(ops[v.name], dtype=np.float64), M)
         else:
             nom = v.nominal if v.nominal is not None else 0.5 * sum(v.get_domain())
-            static[v.name] = jnp.full((n_ops,), float(nom), jnp.float32)
+            base = np.full(M * n_ops, float(nom))
+        if M > 1 and v.distribution is not None and v.category in ("operating", "nuisance"):
+            key, sub = jax.random.split(key)
+            base = np.asarray(v.sample(sub, (M * n_ops,), nominal=base))
+        static[v.name] = jnp.asarray(base, jnp.float32)
 
     # observation tensors with NaN-as-mask semantics matching the NumPy path
     obs_t = {}
@@ -254,34 +265,40 @@ def build_device_posterior(system, args, calib, names, ops, obs, sig, fields):
 
     def log_posterior(theta):  # (W, d) -> (W,)
         W = theta.shape[0]
-        batch = {name: jnp.repeat(theta[:, i], n_ops) for i, name in enumerate(names)}
+        batch = {name: jnp.repeat(theta[:, i], M * n_ops) for i, name in enumerate(names)}
         for k, v in static.items():
             batch[k] = jnp.tile(v, W)
         pred = fn(batch)
 
-        ll = jnp.zeros(W, jnp.float32)
-        bad = jnp.zeros(W, bool)
+        ll = jnp.zeros((W, M), jnp.float32)
+        bad = jnp.zeros((W, M), bool)
         for q, (vals, mask, s, w) in obs_t.items():
-            p = jnp.reshape(pred[q], (W, n_ops))
+            p = jnp.reshape(pred[q], (W, M, n_ops))
             r = (p - vals) / s * mask
             bad |= ~jnp.isfinite(r).all(axis=-1)
             ll += -0.5 * w * jnp.sum(jnp.where(jnp.isfinite(r), r, 0.0) ** 2, axis=-1)
         for q, (var, grid, per_cond) in field_t.items():
-            lat = jnp.reshape(pred[q], (W, n_ops, -1))
-            prof = var.denormalize(var.compression.reconstruct(lat))  # (W, n_ops, nz)
+            lat = jnp.reshape(pred[q], (W, M, n_ops, -1))
+            prof = var.denormalize(var.compression.reconstruct(lat))  # (W, M, n_ops, nz)
             for k, coords, vals, stds in per_cond:
-                interp = jax.vmap(lambda row: jnp.interp(coords, grid[: prof.shape[-1]], row))(
-                    prof[:, k, :])
-                r = (interp - vals) / stds
+                rows = prof[:, :, k, :].reshape(W * M, -1)
+                interp = jax.vmap(lambda row: jnp.interp(coords, grid[: rows.shape[-1]], row))(rows)
+                r = (interp.reshape(W, M, -1) - vals) / stds
                 bad |= ~jnp.isfinite(r).all(axis=-1)
                 ll += -0.5 * jnp.sum(jnp.where(jnp.isfinite(r), r, 0.0) ** 2, axis=-1)
+
+        # logsumexp over the M fixed noise samples (matches the NumPy path)
+        ll = jnp.where(bad | ~jnp.isfinite(ll), -jnp.inf, ll)
+        mx = jnp.max(ll, axis=1, keepdims=True)
+        safe_mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+        lsum = safe_mx[:, 0] + jnp.log(jnp.sum(jnp.exp(ll - safe_mx), axis=1)) - jnp.log(float(M))
 
         lp = jnp.zeros(W, jnp.float32)
         for i, v in enumerate(calib):
             pdf = v.pdf(theta[:, i])
             lp += jnp.log(jnp.maximum(pdf, 1e-30))
         inside = jnp.all((theta >= lo) & (theta <= hi), axis=-1)
-        out = jnp.where(inside & ~bad, lp + ll, -jnp.inf)
+        out = jnp.where(inside, lp + lsum, -jnp.inf)
         return jnp.where(jnp.isfinite(out), out, -1e30)
 
     jitted = jax.jit(log_posterior)
@@ -302,9 +319,19 @@ def main(argv=None):
 
     ops, obs, sig, fields = build_dataset(system, args)
 
-    if args.on_device:
-        log_posterior, _ = build_device_posterior(system, args, calib, names, ops, obs, sig, fields)
-    else:
+    # device path is the DEFAULT for surrogate posteriors (UQ hot loops belong
+    # on the device; the host path remains for --use-model best and debugging)
+    use_device = (args.on_device or not args.host) and args.use_model is None
+    log_posterior = None
+    if use_device:
+        try:
+            log_posterior, _ = build_device_posterior(system, args, calib, names, ops, obs, sig, fields)
+            print("posterior: jitted device program (walker-ensemble batched); --host to opt out")
+        except (ValueError, SystemExit) as err:
+            if args.on_device:
+                raise
+            print(f"device posterior unavailable ({err}); falling back to host path")
+    if log_posterior is None:
         log_posterior = build_numpy_posterior(system, args, calib, names, ops, obs, sig, fields)
 
     x0 = np.array([v.nominal if v.nominal is not None else 0.5 * sum(v.get_domain()) for v in calib])
