@@ -44,6 +44,11 @@ parser.add_argument("--qois", nargs="*", default=["V_cc", "T", "I_d", "I_B0", "e
 parser.add_argument("--allocation", action="store_true",
                     help="print the MISC cost-allocation replay for a trained surrogate "
                          "(reference monte_carlo.py:708-767)")
+parser.add_argument("--plots", action="store_true",
+                    help="save publication predictive figures: per-QoI prior/posterior bands "
+                         "vs background pressure with the experimental errorbars, u_ion(z) and "
+                         "j_ion(theta) profile bands vs data (reference monte_carlo.py:338-705), "
+                         "and trained-surrogate slice plots (reference plot_surrogate, :770-811)")
 parser.add_argument("--out", default="mc_results.h5")
 
 
@@ -134,6 +139,107 @@ def run_experimental_comparison(system, args, posterior, calib_names):
                       f"rel-L2 {num / den:.3e}")
             if errs:
                 print(f"rel-L2 {src} vs data (mean over conditions): {np.mean(errs):.3e}")
+
+    if args.plots:
+        tag = "_post" if posterior is not None else "_prior"
+        saved = save_predictive_plots(system, args, ops, obs, sig, fields, preds, Nmc, n_ops, tag)
+        saved += save_surrogate_slices(system, args)
+        print("saved figures:", ", ".join(saved))
+
+
+def save_predictive_plots(system, args, ops, obs, sig, fields, preds, Nmc, n_ops, tag=""):
+    """Publication predictive figures vs experimental data (the reference's
+    ``spt100_monte_carlo`` plot set, ``monte_carlo.py:338-705``): per-scalar-QoI
+    5-95% bands + median over background pressure with 2-sigma data errorbars;
+    u_ion(z)/j_ion(theta) profile bands at each measured condition."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from hallthrusterpem_tpu.viz import ax_default
+
+    saved = []
+    pb = np.asarray(ops["P_b"], dtype=float)
+    for q in [q for q in args.qois if q in obs]:
+        mask = np.isfinite(obs[q])
+        if not mask.any():
+            continue
+        fig, axes = plt.subplots(1, len(preds), figsize=(4.2 * len(preds), 3.2), squeeze=False)
+        for ax, (src, pred) in zip(axes[0], preds.items()):
+            p = np.asarray(pred[q], dtype=float).reshape(Nmc, n_ops)[:, mask]
+            x = pb[mask]
+            idx = np.argsort(x)
+            p5, med, p95 = np.nanpercentile(p, [5, 50, 95], axis=0)
+            ax.fill_between(x[idx], p5[idx], p95[idx], alpha=0.25, color="0.4",
+                            label=f"{src} 5-95%")
+            ax.plot(x[idx], med[idx], "-k", lw=1.2, label=f"{src} median")
+            ax.errorbar(x[idx], obs[q][mask][idx], yerr=2 * sig[q][mask][idx], fmt="o",
+                        ms=4, capsize=3, mfc="none", color="r", label="experiment")
+            ax.set_xscale("log")
+            ax_default(ax, "Background pressure (Torr)", q, legend=True)
+        fig.tight_layout()
+        name = f"mc_{q}{tag}.png"
+        fig.savefig(name, dpi=130)
+        plt.close(fig)
+        saved.append(name)
+
+    for q, specs in fields.items():
+        n_meas = sum(s is not None for s in specs)
+        if n_meas == 0:
+            continue
+        ncols = min(n_meas, 4)
+        nrows = (n_meas + ncols - 1) // ncols
+        fig, axes = plt.subplots(nrows, ncols, figsize=(3.6 * ncols, 2.9 * nrows), squeeze=False)
+        flat_axes = [ax for row in axes for ax in row]
+        for src, pred in preds.items():
+            prof, grid = field_profiles(system, pred, q)
+            prof = prof.reshape(Nmc, n_ops, -1)
+            grid = grid.reshape(Nmc, n_ops, -1)
+            i_ax = 0
+            for k, spec in enumerate(specs):
+                if spec is None:
+                    continue
+                ax = flat_axes[i_ax]
+                g = grid[0, k]
+                p5, med, p95 = np.nanpercentile(prof[:, k, :], [5, 50, 95], axis=0)
+                style = "-" if src == "surrogate" else "--"
+                ax.fill_between(g, p5, p95, alpha=0.2, color="0.4")
+                ax.plot(g, med, style, c="k", lw=1.2, label=src)
+                if src == list(preds)[0]:
+                    ax.errorbar(spec["coords"], spec["vals"], yerr=2 * spec["stds"], fmt="o",
+                                ms=3, capsize=2, mfc="none", color="r", label="experiment")
+                ax.set_title(f"V_a={ops['V_a'][k]:.0f} V, P_b={ops['P_b'][k]:.1e} Torr",
+                             fontsize=8)
+                xlab = "angle (rad)" if q == "j_ion" else "z (m)"
+                ax_default(ax, xlab, q, legend=(i_ax == 0))
+                if q == "j_ion":
+                    ax.set_yscale("log")
+                i_ax += 1
+        for ax in flat_axes[n_meas:]:
+            ax.set_visible(False)
+        fig.tight_layout()
+        name = f"mc_{q}{tag}.png"
+        fig.savefig(name, dpi=130)
+        plt.close(fig)
+        saved.append(name)
+    return saved
+
+
+def save_surrogate_slices(system, args):
+    """Trained-surrogate 1-D slice plots over the main calibration inputs
+    (the reference's ``plot_surrogate``, ``monte_carlo.py:770-811``)."""
+    inputs = [v.name for v in system.inputs() if v.category == "calibration"][:4]
+    if not inputs:
+        return []
+    qois = [q for q in args.qois if q in {v.name for v in system.outputs()}][:3]
+    try:
+        system.plot_slice(inputs, qois, show_model=["best"], num_steps=12,
+                          save_path="mc_surrogate_slices.png")
+        return ["mc_surrogate_slices.png"]
+    except Exception as err:  # slice plotting is best-effort
+        system.logger.warning("surrogate slice plot skipped: %s", err)
+        return []
 
 
 def main(argv=None):

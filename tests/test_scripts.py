@@ -228,13 +228,17 @@ def test_monte_carlo_experimental_comparison(workdir, monkeypatch, capsys):
 
     monkeypatch.chdir(workdir)
     monte_carlo.main([str(workdir / "fake_pem.yml"), "--data", "spt100", "-n", "32",
-                      "--compare-model", "--allocation",
+                      "--compare-model", "--allocation", "--plots",
                       "--qois", "V_cc", "T", "I_d", "u_ion"])
     out = capsys.readouterr().out
     assert "experimental operating conditions" in out
     assert "rel-L2 surrogate vs data" in out and "rel-L2 model vs data" in out
     assert "u_ion (field, vs data)" in out
     assert "MISC allocation" in out
+    # publication predictive figures (reference monte_carlo.py:338-705 plot set)
+    for name in ("mc_T_prior.png", "mc_V_cc_prior.png", "mc_u_ion_prior.png"):
+        assert (workdir / name).exists(), name
+    assert (workdir / "mc_surrogate_slices.png").exists()
 
 
 def test_filter_outputs_reference_semantics():
