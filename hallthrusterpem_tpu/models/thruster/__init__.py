@@ -164,7 +164,7 @@ def _tree_to_solver_inputs(tree: dict):
         overrides["c_w"] = wl["loss_scale"]
     for src, dst in (("c1", "a1"), ("c2", "a2"), ("hall_min", "hall_min"),
                      ("hall_max", "hall_max"), ("center", "center"), ("width", "width"),
-                     ("barrier_scale", "anom_depth")):
+                     ("barrier_scale", "anom_depth"), ("barrier_width", "anom_width")):
         if inner.get(src) is not None:
             overrides[dst] = inner[src]
     for src, dst in (("dz", "shift_dz"), ("z0", "shift_z0"), ("pstar", "shift_pstar"),

@@ -204,6 +204,7 @@ PARAM_NAMES = (
     "shift_pstar",  # pressure-shift turning pressure [Torr]
     "shift_alpha",  # pressure-shift logistic steepness [-]
     "anom_depth",   # transport-barrier well depth at the B-peak (0..1) [-]
+    "anom_width",   # transport-barrier well 1-sigma width [m]; 0 = cfg.anom_barrier_width
     "f_n",        # neutral ingestion multiplier [-]
     "c_w",        # wall loss scale [-]
     "B_hat",      # magnetic field scale [-]
@@ -231,6 +232,7 @@ _DEFAULTS = {
     "shift_pstar": 45.0e-6,
     "shift_alpha": 15.0,
     "anom_depth": 0.98,
+    "anom_width": 0.0,
     "f_n": 1.0,
     "c_w": 1.0,
     "B_hat": 1.0,

@@ -143,7 +143,11 @@ def anomalous_profile(p, z, cfg: SolverConfig):
         # the well center (the product's minimum never reaches the intended
         # floor), whereas inferred profiles show the minimum AT the B-peak with
         # the plume rise starting just downstream.
-        g = jnp.exp(-0.5 * ((z - z_tr) / cfg.anom_barrier_width) ** 2)
+        # per-sample well width when provided ("anom_width" param / config
+        # barrier_width key); the static cfg value is the default
+        width = jnp.where(p.get("anom_width", jnp.zeros(())) > 0,
+                          p.get("anom_width", jnp.zeros(())), cfg.anom_barrier_width)
+        g = jnp.exp(-0.5 * ((z - z_tr) / width) ** 2)
         floor = p["a1"] * (1.0 - jnp.clip(p["anom_depth"], 0.0, 0.98))
         alpha = alpha + g * (floor - alpha)
     if cfg.anode_alpha > 0:

@@ -31,20 +31,26 @@ DATA = REPO / "hallthrusterpem_tpu" / "data" / "spt100"
 NOM = dict(l_t=1.87915e-3, a1=0.00680237, a2_mult=14.645, dz=0.2, z0=-0.03104,
            pstar=56.86006e-6, alpha=15.0, u_n=141.24234, depth=0.98)
 
-# sweep design: (name, l_t [m], barrier depth)
+# sweep design: (name, l_t [m], barrier depth, barrier 1-sigma width [m], shift dz)
+# Round-4 sweep 2: the dominant profile error is the structure sitting ~4 mm
+# too far downstream (yml nominal dz=0.4 vs prior mean 0.2 — exactly -4.2 mm)
+# plus u~0 across the 20-32 mm ionization zone (E=0 there: slow newborn ions
+# mass-load the mean velocity). Move the structure upstream (dz) and widen the
+# well so E overlaps the ionization zone.
+W0 = 2.5e-3  # static default (SolverConfig.anom_barrier_width)
 CASES = [
-    ("nominal", NOM["l_t"], NOM["depth"]),
-    ("lt_5mm", 5e-3, NOM["depth"]),
-    ("lt_10mm", 10e-3, NOM["depth"]),
-    ("lt_15mm", 15e-3, NOM["depth"]),
-    ("lt_20mm", 20e-3, NOM["depth"]),
-    ("depth_0.8", NOM["l_t"], 0.8),
-    ("depth_0.5", NOM["l_t"], 0.5),
-    ("depth_0.0", NOM["l_t"], 0.0),
-    ("lt10_depth0.5", 10e-3, 0.5),
-    ("lt15_depth0.5", 15e-3, 0.5),
-    ("lt15_depth0.0", 15e-3, 0.0),
-    ("lt20_depth0.0", 20e-3, 0.0),
+    ("nominal", NOM["l_t"], NOM["depth"], W0, 0.4),
+    ("dz0.2", NOM["l_t"], NOM["depth"], W0, 0.2),
+    ("dz0.2_w5", NOM["l_t"], NOM["depth"], 5e-3, 0.2),
+    ("dz0.2_w8", NOM["l_t"], NOM["depth"], 8e-3, 0.2),
+    ("dz0.2_w8_d0.9", NOM["l_t"], 0.9, 8e-3, 0.2),
+    ("dz0.15_w8", NOM["l_t"], NOM["depth"], 8e-3, 0.15),
+    ("dz0.3_w5", NOM["l_t"], NOM["depth"], 5e-3, 0.3),
+    ("dz0.2_w12_d0.95", NOM["l_t"], 0.95, 12e-3, 0.2),
+    ("dz0.25_w8_d0.95", NOM["l_t"], 0.95, 8e-3, 0.25),
+    ("dz0.2_lt10_w5", 10e-3, NOM["depth"], 5e-3, 0.2),
+    ("dz0.3", NOM["l_t"], NOM["depth"], W0, 0.3),
+    ("dz0.25_w5", NOM["l_t"], NOM["depth"], 5e-3, 0.25),
 ]
 
 # anchors at 300 V / 5.16 mg/s, P_b = 1e-5 Torr (Diamant interpolation,
@@ -64,6 +70,8 @@ def main(argv=None):
     n = len(CASES)
     lt = np.array([c[1] for c in CASES])
     depth = np.array([c[2] for c in CASES])
+    width = np.array([c[3] for c in CASES])
+    dz = np.array([c[4] for c in CASES])
 
     tree = {
         "config": {
@@ -83,12 +91,13 @@ def main(argv=None):
             "circuit": {"R": 0.5, "L": 0.0},
             "anom_model": {
                 "type": "LogisticPressureShift",
-                "dz": NOM["dz"] * 2,  # pem_v0 nominal dz=0.4 (2x the prior mean)
+                "dz": dz,
                 "z0": NOM["z0"],
                 "pstar": NOM["pstar"],
                 "alpha": NOM["alpha"],
                 "model": {"type": "TwoZoneBohm", "c1": NOM["a1"],
-                          "c2": NOM["a1"] * NOM["a2_mult"], "barrier_scale": depth},
+                          "c2": NOM["a1"] * NOM["a2_mult"], "barrier_scale": depth,
+                          "barrier_width": width},
             },
         },
         "simulation": {
@@ -119,6 +128,7 @@ def main(argv=None):
                                           "I_B0": "ion_current"}[q]])[i] / ANCHOR[q] - 1)
                 for q in ANCHOR}
         report.append({"case": name, "l_t_mm": lt[i] * 1e3, "depth": depth[i],
+                       "width_mm": width[i] * 1e3, "dz": dz[i],
                        "uion_rel_l2": round(rel, 4),
                        **{f"{q}_rel_err": round(e, 4) for q, e in errs.items()},
                        "u_grid": ui[i].tolist(), "z_grid": zrow.tolist(),
