@@ -56,7 +56,11 @@ def tile_b_for(batch: int) -> int:
     """Batch-tile height. The kernel is dominated by Mosaic per-instruction
     overhead on tiny (8, 256) tiles, not by VPU data throughput — 32 sublanes
     per instruction amortizes it ~1.8x (measured 202 -> 113 us/step at B=1024
-    on v5e; 64+ plateaus and risks the 16 MB scoped-VMEM limit)."""
+    on v5e; 64+ plateaus and risks the 16 MB scoped-VMEM limit).
+    ``HTPEM_TILE_B`` overrides for perf experiments."""
+    env = os.environ.get("HTPEM_TILE_B")
+    if env:
+        return int(env)
     return 32 if batch > 16 else TILE_B
 
 # per-sample scalar slots in the packed params block (_P_RC: cathode-line series
@@ -819,6 +823,8 @@ def simulate_batch_pallas_multi(
     accumulator block, so the trace costs one masked select per step instead of
     forfeiting the fused kernel for the lax path.
     """
+    if env := os.environ.get("HTPEM_INNER_STEPS"):
+        inner_steps = int(env)
     trace = cfg.num_save > 0
     if trace and inner_steps > 128 - _A_TRACE0:
         inner_steps = 128 - _A_TRACE0
