@@ -41,7 +41,36 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["MLPSurrogate", "generate_training_data"]
+__all__ = ["MLPSurrogate", "generate_training_data", "load_training_caches"]
+
+
+def load_training_caches(run_dir, system, pattern: str = "{name}_mlp_train_data*.pkl",
+                         drop: tuple = ("discharge_current_trace", "trace_times")):
+    """Concatenate every labeled training-data cache in ``run_dir``.
+
+    Caches are per-seed (``generate_training_data`` resumes only at fixed
+    (n, seed)); the labeled inputs ride along inside the cached outputs, so the
+    pairing cannot drift even if the sampling filter changed between runs.
+    Returns ``(samples, outputs)`` dicts of stacked arrays.
+    """
+    in_names = [v.name for v in system.inputs()]
+    paths = sorted(Path(run_dir).glob(pattern.format(name=system.name)))
+    if not paths:
+        raise FileNotFoundError(f"no training-data caches under {run_dir}")
+    all_s, all_o = [], []
+    for path in paths:
+        with open(path, "rb") as fd:
+            cache = pickle.load(fd)
+        outputs, n_done = cache["outputs"], cache["done"]
+        if not all(k in outputs for k in in_names):
+            raise ValueError(f"{path}: cache lacks input columns")
+        all_s.append({k: np.asarray(outputs[k])[:n_done] for k in in_names})
+        all_o.append({k: np.asarray(v)[:n_done] for k, v in outputs.items() if k not in drop})
+        system.logger.info("%s: %d labeled samples", path.name, n_done)
+    samples = {k: np.concatenate([s[k] for s in all_s]) for k in all_s[0]}
+    outputs = {k: np.concatenate([o[k] for o in all_o]) for k in all_o[0]
+               if all(k in o for o in all_o)}
+    return samples, outputs
 
 
 def generate_training_data(system, n: int, seed: int = 0, chunk: int = 1024,

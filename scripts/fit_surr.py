@@ -127,10 +127,15 @@ def train_mlp(system, args, test_set, config_path: Path):
         from hallthrusterpem_tpu.surrogate.domain import FailureClassifier, make_domain_filter
 
         domain_filter = make_domain_filter(FailureClassifier.load(args.trim), system)
+    from hallthrusterpem_tpu.surrogate.mlp import load_training_caches
+
     cache = config_path.parent / f"{system.name}_mlp_train_data.pkl"
-    samples, outputs = generate_training_data(
+    generate_training_data(
         system, args.mlp_samples, seed=args.mlp_seed, chunk=args.mlp_chunk, cache_path=cache,
         domain_filter=domain_filter)
+    # train on EVERY labeled cache in the run dir (gen_mlp_data.py adds
+    # per-seed caches; inputs ride along inside each cache's outputs)
+    samples, outputs = load_training_caches(config_path.parent, system)
     surr = MLPSurrogate(system, hidden=tuple(args.mlp_hidden), ensemble=args.mlp_ensemble,
                         seed=args.mlp_seed)
     info = surr.fit(samples, outputs, steps=args.mlp_steps)

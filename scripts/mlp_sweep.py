@@ -50,26 +50,9 @@ def main(argv=None):
     system = System.load_from_file(SURR_DIR / "pem_v0_SPT-100_compression.yml")
     system.set_logger(stdout=True)
 
-    in_names = [v.name for v in system.inputs()]
-    caches = sorted(SURR_DIR.glob("pem_v0_SPT-100_mlp_train_data*.pkl"))
-    all_s, all_o = [], []
-    for path in caches:
-        with open(path, "rb") as fd:
-            cache = pickle.load(fd)
-        outputs = cache["outputs"]
-        n_done = cache["done"]
-        # the labeled inputs ride along inside the cached outputs (system.predict
-        # passes input columns through); regenerating by seed would silently
-        # mis-pair if the domain filter changed, so take them from the cache
-        if not all(k in outputs for k in in_names):
-            raise ValueError(f"{path}: cache lacks input columns")
-        all_s.append({k: np.asarray(outputs[k])[:n_done] for k in in_names})
-        all_o.append({k: np.asarray(v)[:n_done] for k, v in outputs.items()
-                      if k not in ("discharge_current_trace", "trace_times")})
-        print(f"{path.name}: {n_done} labeled samples")
-    samples = {k: np.concatenate([s[k] for s in all_s]) for k in all_s[0]}
-    outputs = {k: np.concatenate([o[k] for o in all_o]) for k in all_o[0]
-               if all(k in o for o in all_o)}
+    from hallthrusterpem_tpu.surrogate.mlp import load_training_caches
+
+    samples, outputs = load_training_caches(SURR_DIR, system)
 
     with open(SURR_DIR / "test_set.pkl", "rb") as fd:
         test = pickle.load(fd)
