@@ -179,7 +179,10 @@ def format_input_tree(
     # a *ratio* (c2 = a_2 * c1); GaussianBohm's anom_max is a ratio on hall_min.
     anom = tree["config"].get("anom_model")
     if anom:
-        inner = anom.get("model", {}) if anom.get("type") in ("LogisticPressureShift", "SimpleLogisticShift") else anom
+        # follow the actual nesting, not the "type" tag: the PEM path map writes
+        # a_2 at config.anom_model.model.c2 even when the caller supplied no
+        # explicit anom_model config (then "type" is absent but "model" exists)
+        inner = anom["model"] if isinstance(anom.get("model"), dict) else anom
         if inner.get("type", "TwoZoneBohm") == "TwoZoneBohm":
             if thruster_inputs.get("a_2") is not None:
                 inner["c2"] = inner["c2"] * inner.get("c1", 0.00625)

@@ -70,12 +70,25 @@ def run_config(cond: dict, batch: int, seed: int, fidelity=(2, 2)) -> dict:
         "p0": np.full(batch, 56.86e-6),
     }
 
+    # production pem_v0 thruster config (scripts/pem_v0/pem_v0_SPT-100.yml):
+    # pressure-shifted TwoZoneBohm + facility RL filter + plume/divergence
+    config = {
+        "ncharge": 3,
+        "domain": (0.0, 0.08),
+        "ion_wall_losses": True,
+        "solve_plume": True,
+        "apply_thrust_divergence_correction": True,
+        "circuit": {"R": 0.5, "L": 0.0},
+        "anom_model": {"type": "LogisticPressureShift", "dz": 0.2, "z0": -0.03104,
+                       "pstar": 45.0e-6, "alpha": 15,
+                       "model": {"type": "TwoZoneBohm", "c1": 0.00625, "c2": 0.0625}},
+    }
     results = {}
     for backend in ("lax", "pallas"):
         os.environ["HTPEM_SOLVER"] = backend
         t0 = time.time()
         out = hallthruster_jl(inputs, thruster="SPT-100", model_fidelity=fidelity,
-                              simulation={"duration": 2e-3},
+                              config=config, simulation={"duration": 2e-3},
                               postprocess={"average_start_time": 1e-3,
                                            "cycle_average": True, "num_save": 256})
         results[backend] = ({k: np.asarray(v) for k, v in out.items()}, time.time() - t0)
