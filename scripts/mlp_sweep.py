@@ -32,6 +32,11 @@ VARIANTS = [
     {"name": "wide512_wd1e-4", "hidden": (512, 512, 512), "steps": 20000,
      "weight_decay": 1e-4},
     {"name": "wide512_b4096", "hidden": (512, 512, 512), "steps": 20000, "batch": 4096},
+    # round-4 final-fit candidates (96k samples: caches s7+s8)
+    {"name": "deep384_30k", "hidden": (384, 384, 384, 384), "steps": 30000},
+    {"name": "deep512_30k", "hidden": (512, 512, 512, 512), "steps": 30000},
+    {"name": "deep384_30k_e16", "hidden": (384, 384, 384, 384), "steps": 30000,
+     "ensemble": 16},
 ]
 
 TARGETS = ["T", "I_d", "I_B0", "u_ion", "j_ion", "eta_m", "eta_v", "V_cc"]
@@ -67,12 +72,13 @@ def main(argv=None):
         spec = dict(spec)
         name = spec.pop("name")
         hidden = spec.pop("hidden")
+        ensemble = spec.pop("ensemble", 8)
         t0 = time.time()
-        surr = MLPSurrogate(system, hidden=hidden, ensemble=8, seed=7)
+        surr = MLPSurrogate(system, hidden=hidden, ensemble=ensemble, seed=7)
         info = surr.fit(samples, outputs, verbose=False, **spec)
         errors = surr.test_errors(xt, yt, targets=TARGETS)
         wall = time.time() - t0
-        rec = {"name": name, "hidden": list(hidden), **spec,
+        rec = {"name": name, "hidden": list(hidden), "ensemble": ensemble, **spec,
                "val_rmse": info.get("val_rmse"), "wall_s": round(wall, 1),
                "rel_l2": {k: round(float(v), 4) for k, v in errors.items()}}
         results.append(rec)
