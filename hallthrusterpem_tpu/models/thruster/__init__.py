@@ -108,11 +108,18 @@ def _tree_to_solver_inputs(tree: dict):
         dt = float(np.clip(dt_cfl, float(sim.get("min_dt", dt_cfl)),
                            float(sim.get("max_dt", dt_cfl))))
 
+    # three-region anomalous-profile shape constants (solver.anomalous_profile):
+    # optionally overridable per-config for profile-shape studies
+    shape_keys = {k: float(config[k]) for k in
+                  ("anode_alpha", "anode_edge_frac", "anode_edge_width", "anom_barrier_width")
+                  if config.get(k) is not None}
+
     cfg = SolverConfig(
         num_cells=num_cells,
         ncharge=ncharge,
         domain=(float(domain[0]), float(domain[1])),
         geometry=geometry,
+        **shape_keys,
         propellant=str(config.get("propellant", "Xenon")),
         dt=dt,
         duration=duration,
