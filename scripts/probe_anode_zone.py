@@ -32,11 +32,10 @@ NOM = dict(l_t=1.87915e-3, a1=0.00680237, a2_mult=14.645, dz=0.2, z0=-0.03104,
 ANCHOR = {"T": 81.7e-3, "I_d": 4.60, "I_B0": 3.6}  # at 1e-5 Torr
 
 CASES = [
-    ("default_0.82_1.5mm", 0.82, 1.5e-3),
-    ("frac_0.65", 0.65, 1.5e-3),
-    ("frac_0.50", 0.50, 1.5e-3),
-    ("frac_0.65_w4", 0.65, 4e-3),
-    ("frac_0.82_w6", 0.82, 6e-3),
+    ("frac_0.60", 0.60, 1.5e-3),
+    ("frac_0.55", 0.55, 1.5e-3),
+    ("frac_0.52", 0.52, 1.5e-3),
+    ("frac_0.55_w3", 0.55, 3e-3),
 ]
 
 
