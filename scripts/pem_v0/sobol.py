@@ -30,6 +30,8 @@ parser.add_argument("-n", "--num_samples", type=int, default=5000)
 parser.add_argument("--pressures", nargs="*", type=float,
                     default=[3e-6, 1e-5, 3e-5, 5e-5, 8e-5])
 parser.add_argument("--qois", nargs="*", default=["T", "I_d", "V_cc", "eta_a"])
+parser.add_argument("--out", default=None,
+                    help="save the full S1/ST tables as a JSON artifact")
 
 
 def main(argv=None):
@@ -43,6 +45,7 @@ def main(argv=None):
     names = [v.name for v in sweep_vars]
     d = len(names)
 
+    artifact = []
     for p_b in args.pressures:
 
         def sampler(n, seed):
@@ -78,6 +81,17 @@ def main(argv=None):
             tops = ", ".join(f"{names[i]}: S1={res['S1'][i, qi]:.3f} ST={res['ST'][i, qi]:.3f}"
                              for i in order)
             print(f"  {q}: {tops}")
+        artifact.append({"P_b": p_b, "n_samples": args.num_samples, "params": names,
+                         "qois": list(res["qois"]),
+                         "S1": np.round(res["S1"], 5).tolist(),
+                         "ST": np.round(res["ST"], 5).tolist()})
+
+    if args.out:
+        import json
+
+        with open(args.out, "w") as fd:
+            json.dump(artifact, fd, indent=1)
+        print(f"saved {args.out}")
 
 
 if __name__ == "__main__":
