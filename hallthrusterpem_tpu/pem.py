@@ -29,7 +29,9 @@ _NOMINALS = {
     "P_b": 1e-5, "V_a": 300.0, "mdot_a": 5e-6,
     "T_e": 1.32721, "V_vac": 31.61135, "Pstar": 34.63406e-6, "P_T": 10.19193e-6,
     "u_n": 141.24234, "l_t": 1.87915e-3, "a_1": 0.00680237, "a_2": 14.645,
-    "dz": 0.4, "z0": -0.03104, "p0": 56.86006e-6,
+    # dz nominal 0.2 = this solver's shift-convention equivalent of the
+    # reference's 0.4 (see pem_v0_SPT-100.yml note + docs/validation.md round 4)
+    "dz": 0.2, "z0": -0.03104, "p0": 56.86006e-6,
     "c0": 0.92434, "c1": 0.81486, "c2": 14.00547, "c3": 0.44667,
     "c4": 1e20, "c5": 1e16, "sigma_cex": 55.0e-20,
 }
