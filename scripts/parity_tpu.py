@@ -64,8 +64,8 @@ def run_config(cond: dict, batch: int, seed: int, fidelity=(2, 2)) -> dict:
         "V_cc": np.full(batch, 30.0),
         "u_n": 141.24 * (1 + 0.05 * rng.standard_normal(batch)),
         "a_1": cond.get("a_1", 0.0068) * (1 + 0.1 * rng.standard_normal(batch)),
-        "a_2": np.full(batch, 14.645 * cond.get("a_1", 0.0068)),
-        "dz": np.full(batch, 0.4),
+        "a_2": np.full(batch, 14.645),  # ratio on a_1 (wrapper c2 = a_2 * c1)
+        "dz": np.full(batch, 0.2),
         "z0": np.full(batch, -0.03104),
         "p0": np.full(batch, 56.86e-6),
     }
@@ -103,13 +103,24 @@ def run_config(cond: dict, batch: int, seed: int, fidelity=(2, 2)) -> dict:
     fin_p = np.isfinite(pl_out["T"])
     agree = float((fin_l == fin_p).mean())
     both = fin_l & fin_p
+    # attractor agreement: a marginal sample can deterministically land in a
+    # different limit cycle over a 2 ms horizon under a numerically-equivalent
+    # reordering (the round-3 cold-dense-attractor study; docs/validation.md).
+    # Codegen parity is judged on rows where both backends found the SAME
+    # attractor (I_d within 30%); the divergent fraction is bounded instead.
+    same = both & (np.abs(np.log(np.maximum(lax_out["I_d"], 1e-9) /
+                                 np.maximum(pl_out["I_d"], 1e-9))) < np.log(1.3))
+    attractor_agree = float(same.sum() / max(both.sum(), 1))
     entry["finite"] = {"lax": int(fin_l.sum()), "pallas": int(fin_p.sum()),
-                       "mask_agreement": round(agree, 4), "both": int(both.sum())}
-    ok = agree >= MIN_MASK_AGREEMENT and both.sum() > 0
+                       "mask_agreement": round(agree, 4), "both": int(both.sum()),
+                       "attractor_agreement": round(attractor_agree, 4),
+                       "same_attractor": int(same.sum())}
+    ok = (agree >= MIN_MASK_AGREEMENT and attractor_agree >= MIN_MASK_AGREEMENT
+          and same.sum() > 0)
     for qoi, tol in TOLERANCES.items():
-        if qoi not in lax_out or not both.any():
+        if qoi not in lax_out or not same.any():
             continue
-        a, b = lax_out[qoi][both], pl_out[qoi][both]
+        a, b = lax_out[qoi][same], pl_out[qoi][same]
         rel = np.abs(a - b) / np.maximum(np.abs(a), 1e-12)
         rec = {"median_rel": float(np.median(rel)), "max_rel": float(rel.max()),
                "tol_median": tol["median"], "tol_max": tol["max"],

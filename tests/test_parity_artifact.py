@@ -26,6 +26,10 @@ def test_parity_artifact_valid_and_passing():
     for entry in art["configs"]:
         assert entry["pass"], f"parity failed for {entry['condition']['name']}: {entry['qois']}"
         assert entry["finite"]["mask_agreement"] >= art["min_mask_agreement"]
+        # bistable rows may land in different attractors across backends (the
+        # round-3 basin study); their fraction is bounded, and QoI tolerances
+        # are judged on attractor-agreeing rows
+        assert entry["finite"]["attractor_agreement"] >= art["min_mask_agreement"]
         for qoi, rec in entry["qois"].items():
             assert rec["median_rel"] < rec["tol_median"], (qoi, rec)
             assert rec["max_rel"] < rec["tol_max"], (qoi, rec)
