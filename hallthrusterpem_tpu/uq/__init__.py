@@ -7,7 +7,7 @@ model) call; Saltelli matrices and MC ensembles evaluate as single fused batches
 instead of executor fan-outs.
 """
 
-from hallthrusterpem_tpu.uq.mcmc import dram, autocorrelation, integrated_autocorr_time, ess, read_mcmc_chain
+from hallthrusterpem_tpu.uq.mcmc import dram, stretch, autocorrelation, integrated_autocorr_time, ess, read_mcmc_chain
 from hallthrusterpem_tpu.uq.sobol import sobol_sa
 from hallthrusterpem_tpu.uq.montecarlo import run_mc, mc_percentiles
 from hallthrusterpem_tpu.uq.utils import (
@@ -22,6 +22,7 @@ from hallthrusterpem_tpu.surrogate.train import relative_l2
 
 __all__ = [
     "dram",
+    "stretch",
     "autocorrelation",
     "integrated_autocorr_time",
     "ess",

@@ -19,7 +19,8 @@ from typing import Callable, Optional
 
 import numpy as np
 
-__all__ = ["dram", "read_mcmc_chain", "autocorrelation", "integrated_autocorr_time", "ess"]
+__all__ = ["dram", "stretch", "read_mcmc_chain", "autocorrelation",
+           "integrated_autocorr_time", "ess"]
 
 
 def _batched(logpdf: Callable, x: np.ndarray) -> np.ndarray:
@@ -153,6 +154,78 @@ def dram(
 
     if squeeze:
         return samples[:, 0, :], logps[:, 0], acceptance
+    return samples, logps, acceptance
+
+
+def stretch(
+    logpdf: Callable,
+    x0,
+    niter: int = 10000,
+    n_walkers: int = 64,
+    a: float = 2.0,
+    scale=None,
+    filename: Optional[str] = None,
+    seed: int = 0,
+    progress: bool = False,
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """Affine-invariant parallel-stretch ensemble sampler (Goodman & Weare 2010,
+    the emcee move), vectorized through a batched log-posterior.
+
+    Why it exists alongside :func:`dram`: the 17-dim pem_v0 posterior mixes
+    per-decade-scaled parameters (c4 ~1e20, l_t ~1e-3) with posterior widths
+    spanning 0.1%-50% of their prior widths; random-walk covariance adaptation
+    through a float32 device posterior is fragile there (round-4 rehearsals:
+    FD-Laplace preconditioners collapse or overshoot, acceptance 0.00-0.09).
+    The stretch move is affine-invariant — it needs NO proposal scale at all —
+    and every half-ensemble update is one batched posterior call, which is
+    exactly the TPU-friendly shape (SURVEY.md §3.4).
+
+    :param x0: (d,) center or (W, d) ensemble of starts; a (d,) center is
+        jittered by ``scale`` (default 1e-3 of |x0|, elementwise) per walker
+    :param a: stretch parameter (2.0 is the standard choice)
+    :returns: (samples (niter+1, W, d), log-pdf values, acceptance rate)
+    """
+    rng = np.random.default_rng(seed)
+    x0 = np.atleast_2d(np.asarray(x0, dtype=np.float64))
+    if x0.shape[0] == 1:
+        jitter = np.asarray(scale, dtype=np.float64) if scale is not None \
+            else 1e-3 * np.maximum(np.abs(x0[0]), 1e-12)
+        x0 = x0 + jitter * rng.standard_normal((n_walkers, x0.shape[1]))
+    W, d = x0.shape
+    if W < 2 * d:
+        raise ValueError(f"stretch sampler needs >= 2*d walkers (have {W}, d={d})")
+    half = W // 2
+
+    samples = np.empty((niter + 1, W, d))
+    logps = np.empty((niter + 1, W))
+    samples[0] = x0
+    logps[0] = _batched(logpdf, x0)
+    n_acc = 0
+
+    for t in range(1, niter + 1):
+        x = samples[t - 1].copy()
+        lp = logps[t - 1].copy()
+        for s0, s1 in ((slice(0, half), slice(half, W)), (slice(half, W), slice(0, half))):
+            mov, com = x[s0], x[s1]
+            nm = mov.shape[0]
+            # z ~ g(z) prop 1/sqrt(z) on [1/a, a]
+            z = (1.0 + (a - 1.0) * rng.uniform(size=nm)) ** 2 / a
+            partners = com[rng.integers(0, com.shape[0], size=nm)]
+            prop = partners + z[:, None] * (mov - partners)
+            lp_prop = _batched(logpdf, prop)
+            log_acc = (d - 1) * np.log(z) + lp_prop - lp[s0]
+            acc = np.log(rng.uniform(size=nm)) < log_acc
+            x[s0] = np.where(acc[:, None], prop, mov)
+            lp[s0] = np.where(acc, lp_prop, lp[s0])
+            n_acc += int(acc.sum())
+        samples[t] = x
+        logps[t] = lp
+        if progress and t % max(1, niter // 20) == 0:
+            print(f"stretch: {t}/{niter} acc={n_acc / (t * W):.3f}")
+
+    acceptance = n_acc / (niter * W)
+    if filename is not None:
+        _append_h5(filename, samples, logps)
     return samples, logps, acceptance
 
 

@@ -21,12 +21,22 @@ __all__ = [
 ]
 
 
-def approx_hess(fn: Callable, x0: np.ndarray, rel_step: float = 1e-4) -> np.ndarray:
+def approx_hess(fn: Callable, x0: np.ndarray, rel_step: float = 1e-4,
+                steps: np.ndarray | None = None) -> np.ndarray:
     """Central finite-difference Hessian of a scalar function, evaluated with ONE
-    batched call over all 2d^2 + 1 stencil points (device-friendly)."""
+    batched call over all 2d^2 + 1 stencil points (device-friendly).
+
+    ``steps`` (absolute per-dimension stencil sizes) overrides the relative
+    rule. Pass problem-scaled steps (e.g. a few percent of each prior/domain
+    width) when ``fn`` is a float32 device program: an f32 log-posterior of
+    magnitude ~1e4 quantizes at ~1e-3, and |x0|-relative stencils can produce
+    differences BELOW that resolution (measured round 4: a DRAM Laplace
+    preconditioner collapsed to zero because every FD difference of the jitted
+    posterior was sub-quantum for the weakly-identified parameters)."""
     x0 = np.asarray(x0, dtype=np.float64)
     d = x0.size
-    h = rel_step * np.maximum(np.abs(x0), 1.0)
+    h = np.asarray(steps, dtype=np.float64) if steps is not None \
+        else rel_step * np.maximum(np.abs(x0), 1.0)
 
     pts = [x0]
     idx = []
@@ -86,7 +96,8 @@ def normal_sample(mean, cov, size: int, seed: int = 0) -> np.ndarray:
     return rng.multivariate_normal(mean, cov, size=size)
 
 
-def laplace_approximation(log_post: Callable, x_map: np.ndarray, rel_step: float = 1e-4):
+def laplace_approximation(log_post: Callable, x_map: np.ndarray, rel_step: float = 1e-4,
+                          steps: np.ndarray | None = None):
     """Gaussian (Laplace) approximation at a MAP point: N(x_map, -H^{-1})
     (reference ``run_laplace``, ``mcmc.py:234-252``).
 
@@ -94,7 +105,7 @@ def laplace_approximation(log_post: Callable, x_map: np.ndarray, rel_step: float
     about a parameter) make ``-H`` singular; their eigenvalues are floored at
     1e-8 of the stiffest direction, so those directions come back with a large
     but finite variance instead of raising."""
-    H = approx_hess(log_post, x_map, rel_step=rel_step)
+    H = approx_hess(log_post, x_map, rel_step=rel_step, steps=steps)
     A = -0.5 * (H + H.T)
     w, V = np.linalg.eigh(A)
     top = float(w.max())

@@ -30,7 +30,8 @@ from hallthrusterpem_tpu.core.system import System
 
 _sys.path.insert(0, str(_Path(__file__).resolve().parent))
 from dataset_util import field_profiles, load_experiment  # noqa: E402
-from hallthrusterpem_tpu.uq import dram, ess, integrated_autocorr_time, laplace_approximation, run_mle
+from hallthrusterpem_tpu.uq import (dram, ess, integrated_autocorr_time,
+                                    laplace_approximation, run_mle, stretch)
 
 parser = argparse.ArgumentParser(description=__doc__)
 parser.add_argument("config_file")
@@ -60,6 +61,10 @@ parser.add_argument("--on-device", action="store_true",
                     help="(default when a trained surrogate is available) evaluate the "
                          "log-posterior as ONE jitted device program over the whole walker "
                          "ensemble (System.as_jax_fn; SURVEY.md §3.4)")
+parser.add_argument("--sampler", choices=["dram", "stretch"], default="dram",
+                    help="dram = reference-parity delayed-rejection adaptive Metropolis; "
+                         "stretch = affine-invariant ensemble (tuning-free, walker-batched "
+                         "— the TPU-native default for sharp anisotropic posteriors)")
 parser.add_argument("--host", action="store_true",
                     help="force the host-NumPy posterior path (per-step system.predict); "
                          "the device path is the default for surrogate posteriors")
@@ -356,11 +361,30 @@ def main(argv=None):
 
         # log_posterior is ensemble-batched; approx_hess sends ONE (2d^2+1, d)
         # stencil batch through it (uq/utils.py:24-49)
-        x_map, cov_l = laplace_approximation(lambda x: np.asarray(log_posterior(np.atleast_2d(x))), x0)
-        # cap flat-direction variances at the domain width (the eigen-floor in
-        # laplace_approximation keeps them finite but can leave them huge)
+        # The Laplace is computed in NORMALIZED coordinates y = (x-lo)/width:
+        # raw parameter scales span ~23 decades (c4 ~1e20 vs l_t ~1e-3), which
+        # makes the raw-unit Hessian eigenproblem meaningless (measured: the
+        # eigen-floor then caps every direction and the preconditioner
+        # degenerates). FD stencils are 5% of each width — |x0|-relative steps
+        # quantize to zero through the float32 device posterior (see
+        # approx_hess docstring) — and are halved near a domain edge so no
+        # stencil point falls off the prior cliff.
+        dom_l = np.array([v.get_domain()[0] for v in calib], dtype=float)
+        dom_h = np.array([v.get_domain()[1] for v in calib], dtype=float)
+        y0 = (x0 - dom_l) / widths
+        steps_y = np.minimum(0.05, 0.5 * np.minimum(y0, 1.0 - y0))
+        steps_y = np.maximum(steps_y, 1e-4)
+        y_map, cov_y = laplace_approximation(
+            lambda y: np.asarray(log_posterior(np.atleast_2d(dom_l + y * widths))),
+            y0, steps=steps_y)
+        x_map = dom_l + y_map * widths
+        cov_l = cov_y * np.outer(widths, widths)
+        # cap flat-direction variances at 5% of the domain width: FD-flat
+        # directions (below the f32 posterior's quantization) are NOT known to
+        # be wide — rehearsals show informative directions at 0.1-1% of width,
+        # and a half-width proposal in 17 dims zeroes the acceptance
         std = np.sqrt(np.diag(cov_l))
-        scale = np.minimum(1.0, 0.5 * widths / np.maximum(std, 1e-300))
+        scale = np.minimum(1.0, 0.05 * widths / np.maximum(std, 1e-300))
         cov_l = cov_l * np.outer(scale, scale)
         print("Laplace std:", dict(zip(names, np.round(np.sqrt(np.diag(cov_l)), 6))))
         cov0 = (2.38**2 / len(calib)) * cov_l
@@ -369,11 +393,28 @@ def main(argv=None):
         margin = 1e-6 * (dom[:, 1] - dom[:, 0])
         x0 = np.clip(starts, dom[:, 0] + margin, dom[:, 1] - margin)
 
-    samples, logps, acc = dram(
-        log_posterior, x0, niter=args.niter, n_walkers=args.walkers, cov0=cov0,
-        adapt_after=max(200, args.niter // 10), adapt_interval=100,
-        filename=args.file, progress=True,
-    )
+    if args.sampler == "stretch":
+        dom = np.array([v.get_domain() for v in calib], dtype=float)
+        margin = 1e-6 * widths
+        if np.ndim(x0) == 1:
+            rng = np.random.default_rng(1)
+            x0 = x0[None] + 0.02 * widths * rng.standard_normal((args.walkers, len(calib)))
+        x0 = np.clip(x0, dom[:, 0] + margin, dom[:, 1] - margin)
+        if x0.shape[0] < 2 * len(calib):  # stretch needs a real ensemble
+            reps = -(-2 * len(calib) // x0.shape[0])
+            rng = np.random.default_rng(2)
+            x0 = np.concatenate([x0] * reps)[: 2 * len(calib)]
+            x0 = np.clip(x0 + 0.005 * widths * rng.standard_normal(x0.shape),
+                         dom[:, 0] + margin, dom[:, 1] - margin)
+        samples, logps, acc = stretch(log_posterior, x0, niter=args.niter,
+                                      n_walkers=x0.shape[0], filename=args.file,
+                                      progress=True)
+    else:
+        samples, logps, acc = dram(
+            log_posterior, x0, niter=args.niter, n_walkers=args.walkers, cov0=cov0,
+            adapt_after=max(200, args.niter // 10), adapt_interval=100,
+            filename=args.file, progress=True,
+        )
     print(f"acceptance: {acc:.3f}")
     flat = samples[args.niter // 4 :].reshape(-1, len(names))
     tau = integrated_autocorr_time(flat)

@@ -107,3 +107,26 @@ def test_pd_helpers():
     assert is_positive_definite(M2)
     s = normal_sample([0, 0], np.eye(2), 500, seed=0)
     assert s.shape == (500, 2)
+
+
+def test_stretch_recovers_anisotropic_gaussian(tmp_path):
+    """The affine-invariant move needs no proposal scale even with a 1e6
+    condition-number target (the failure mode that motivated it: round-4
+    pem_v0 posterior scales span decades)."""
+    from hallthrusterpem_tpu.uq import stretch
+
+    mean = np.array([3.0, -1.0, 50.0])
+    std = np.array([1e-3, 1.0, 1e3])
+
+    def logpdf(x):
+        return -0.5 * np.sum(((np.atleast_2d(x) - mean) / std) ** 2, axis=-1)
+
+    h5 = tmp_path / "chain.h5"
+    samples, logps, acc = stretch(logpdf, mean + 0.1 * std, niter=3000,
+                                  n_walkers=32, seed=0, filename=str(h5),
+                                  scale=0.1 * std)
+    assert samples.shape == (3001, 32, 3)
+    assert 0.1 < acc < 0.7
+    flat = samples[1000:].reshape(-1, 3)
+    assert np.allclose(flat.mean(axis=0), mean, atol=0.2 * std)
+    assert np.allclose(flat.std(axis=0), std, rtol=0.3)
