@@ -66,12 +66,21 @@ def main(argv=None):
 
     import jax
 
-    from hallthrusterpem_tpu.models.thruster.config import SolverConfig  # noqa: F401
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/hallthrusterpem_tpu_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+    except Exception:  # noqa: BLE001
+        pass
+
+    from hallthrusterpem_tpu.models.thruster.mapping import PEM_TO_JULIA
     from hallthrusterpem_tpu.pem import default_coupled_inputs
 
     fidelity = tuple(int(t) for t in args.fidelity.split(","))
-    inputs = default_coupled_inputs(args.batch, key=jax.random.PRNGKey(0), spread=0.08)
-    # thruster-only inputs (drop plume/cathode-only names the wrapper ignores)
+    coupled = default_coupled_inputs(args.batch, key=jax.random.PRNGKey(0), spread=0.08)
+    # thruster-only inputs: the wrapper maps names through PEM_TO_JULIA and
+    # rejects cathode/plume-only names (c0..c5, V_vac, ...)
+    inputs = {k: v for k, v in coupled.items() if k in PEM_TO_JULIA}
+    inputs["V_cc"] = jax.numpy.full(args.batch, 32.0)
     ncells = 50 * (fidelity[0] + 2)
     # number of steps: CFL dt at this fidelity (reference thruster.py:159-181)
     from hallthrusterpem_tpu.models.thruster import default_model_fidelity

@@ -13,10 +13,10 @@ SURR=runs/r4/surr/pem_v0_SPT-100_trained.yml
 
 mkdir -p runs/r4/mcmc runs/r4/mc runs/r4/sobol
 
-echo "=== DRAM calibration ($(date))"
+echo "=== stretch-ensemble calibration ($(date))"
 (cd runs/r4/mcmc && timeout 7200 python -u ../../../scripts/pem_v0/mcmc.py \
     ../../../$SURR --data spt100 --qois V_cc T I_d u_ion j_ion \
-    --niter 10000 --walkers 8 --laplace --noise-samples 16 \
+    --niter 20000 --walkers 64 --mle --sampler stretch --noise-samples 16 \
     --file dram_chain.h5) 2>&1 | tee runs/r4/mcmc/log.txt | tail -25
 
 echo "=== posterior-predictive Monte Carlo ($(date))"
