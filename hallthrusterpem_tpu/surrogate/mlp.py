@@ -113,12 +113,17 @@ def generate_training_data(system, n: int, seed: int = 0, chunk: int = 1024,
 
 
 def _net_forward(params, x):
-    """Single-member forward: ``x (n, D) -> (n, P+1)`` (last column = fail logit)."""
+    """Single-member forward: ``x (n, D) -> (n, P+1)`` (last column = fail logit).
+
+    Matmuls pinned to float32: the TPU default (bf16 passes) adds ~0.4%
+    per-output jitter, which a Metropolis likelihood integrates into O(10+)
+    log-posterior noise — measured round 4: the same stretch-ensemble chain
+    accepted 0.30 on CPU (true f32) and 0.01 on TPU (bf16 default)."""
     h = x
     for w, b in params[:-1]:
-        h = jax.nn.gelu(h @ w + b)
+        h = jax.nn.gelu(jnp.dot(h, w, precision=jax.lax.Precision.HIGHEST) + b)
     w, b = params[-1]
-    return h @ w + b
+    return jnp.dot(h, w, precision=jax.lax.Precision.HIGHEST) + b
 
 
 class MLPSurrogate:

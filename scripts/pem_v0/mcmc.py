@@ -306,7 +306,13 @@ def build_device_posterior(system, args, calib, names, ops, obs, sig, fields):
         out = jnp.where(inside, lp + lsum, -jnp.inf)
         return jnp.where(jnp.isfinite(out), out, -1e30)
 
-    jitted = jax.jit(log_posterior)
+    @jax.jit
+    def jitted(theta):
+        # f32 matmuls end-to-end (MLP + SVD reconstruction): the TPU bf16
+        # default injects per-call quantization that reads as log-posterior
+        # noise and collapses Metropolis acceptance (see mlp._net_forward)
+        with jax.default_matmul_precision("float32"):
+            return log_posterior(theta)
 
     def np_wrapper(theta: np.ndarray) -> np.ndarray:
         theta = np.atleast_2d(np.asarray(theta, dtype=np.float32))
