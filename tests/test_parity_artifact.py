@@ -32,5 +32,5 @@ def test_parity_artifact_valid_and_passing():
         assert entry["finite"]["attractor_agreement"] >= art["min_mask_agreement"]
         for qoi, rec in entry["qois"].items():
             assert rec["median_rel"] < rec["tol_median"], (qoi, rec)
-            assert rec["max_rel"] < rec["tol_max"], (qoi, rec)
+            assert rec["p90_rel"] < rec["tol_p90"], (qoi, rec)
     assert art["pass"] is True
