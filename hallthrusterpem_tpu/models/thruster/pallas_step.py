@@ -54,13 +54,18 @@ def lanes_for(cfg) -> int:
 
 def tile_b_for(batch: int) -> int:
     """Batch-tile height. The kernel is dominated by Mosaic per-instruction
-    overhead on tiny (8, 256) tiles, not by VPU data throughput — 32 sublanes
-    per instruction amortizes it ~1.8x (measured 202 -> 113 us/step at B=1024
-    on v5e; 64+ plateaus and risks the 16 MB scoped-VMEM limit).
+    overhead on tiny (8, 256) tiles, not by VPU data throughput — taller tiles
+    amortize it (round-4 on-chip sweep, runs/r4/kernel_profile.json: 139/112/
+    100/99/98/98 us/step at tile 16/32/48/64/96/128, B=1024 full physics;
+    K-block HBM traffic is 0.9% of v5e peak, so the kernel is compute/issue-
+    bound and the plateau is the VPU, not bandwidth). 64 is the default: the
+    plateau value with 2x VMEM headroom vs 128.
     ``HTPEM_TILE_B`` overrides for perf experiments."""
     env = os.environ.get("HTPEM_TILE_B")
     if env:
         return int(env)
+    if batch >= 64:
+        return 64
     return 32 if batch > 16 else TILE_B
 
 # per-sample scalar slots in the packed params block (_P_RC: cathode-line series
