@@ -733,9 +733,20 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
             sacc0,
             sacc0[:, _A_ICIR][:, None],
         )
-        rho_n, nE, rho_i, mom_i, _u, prof, sacc, _icir = jax.lax.fori_loop(
-            0, inner_steps, body, carry0
-        )
+        # manual unroll (lax.fori_loop(unroll=) is not lowered in Pallas TPU):
+        # amortizes the Mosaic loop-management overhead over several physics
+        # steps per trip. Requires inner_steps % unroll == 0.
+        unroll = int(os.environ.get("HTPEM_UNROLL", "1"))
+        if unroll > 1 and inner_steps % unroll == 0:
+            def body_u(j, carry):
+                for u in range(unroll):
+                    carry = body(j * unroll + u, carry)
+                return carry
+
+            final = jax.lax.fori_loop(0, inner_steps // unroll, body_u, carry0)
+        else:
+            final = jax.lax.fori_loop(0, inner_steps, body, carry0)
+        rho_n, nE, rho_i, mom_i, _u, prof, sacc, _icir = final
 
         out_state[0][:, :] = rho_n
         out_state[1][:, :] = nE
