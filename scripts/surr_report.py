@@ -80,6 +80,13 @@ def main(argv=None):
     log_err = np.abs(np.log10(np.maximum(idp, 1e-6)) - np.log10(idt))[fin]
     report["I_d"]["spread_error_corr"] = round(float(np.corrcoef(spread, log_err)[0, 1]), 3)
     report["I_d"]["coverage_2sigma"] = round(float((log_err <= 2 * spread).mean()), 4)
+    # deep ensembles under-disperse: the scalar recalibration factor tau makes
+    # tau*2sigma a true 95% band on this held-out set (conformal-style quantile)
+    ratio = log_err / np.maximum(spread, 1e-12)
+    tau95 = float(np.quantile(ratio, 0.95)) / 2.0
+    report["I_d"]["spread_tau_for_95pct"] = round(tau95, 3)
+    report["I_d"]["coverage_2sigma_recalibrated"] = round(
+        float((log_err <= tau95 * 2 * spread).mean()), 4)
 
     out_path = run_dir / args.output
     with open(out_path, "w") as fd:
