@@ -111,7 +111,8 @@ def _tree_to_solver_inputs(tree: dict):
     # three-region anomalous-profile shape constants (solver.anomalous_profile):
     # optionally overridable per-config for profile-shape studies
     shape_keys = {k: float(config[k]) for k in
-                  ("anode_alpha", "anode_edge_frac", "anode_edge_width", "anom_barrier_width")
+                  ("anode_alpha", "anode_edge_frac", "anode_edge_width", "anom_barrier_width",
+                   "wall_recycling")
                   if config.get(k) is not None}
 
     cfg = SolverConfig(
@@ -164,6 +165,10 @@ def _tree_to_solver_inputs(tree: dict):
     grab("l_t", "transition_length")
     grab("f_n", "neutral_ingestion_multiplier")
     grab("B_hat", "magnetic_field_scale")
+    # plume stream-tube cone tangent (per-sample; sets both the quasi-1D area
+    # expansion and the thrust cos-projection when
+    # apply_thrust_divergence_correction is on)
+    grab("tan_div", "plume_divergence_tan")
     grab("circuit_R", "circuit", "R")
     grab("circuit_L", "circuit", "L")
     wl = config.get("wall_loss_model", {}) or {}

@@ -20,6 +20,7 @@ step — enforced by ``tests/test_pallas.py`` in interpret mode.
 
 from __future__ import annotations
 
+import logging
 import os
 from functools import partial
 
@@ -63,7 +64,12 @@ def tile_b_for(batch: int) -> int:
     ``HTPEM_TILE_B`` overrides for perf experiments."""
     env = os.environ.get("HTPEM_TILE_B")
     if env:
-        return int(env)
+        tb = int(env)
+        if tb <= 0 or tb % 8:
+            # a non-multiple-of-8 sublane tile fails Mosaic lowering with an
+            # opaque error much later — reject it at the source
+            raise ValueError(f"HTPEM_TILE_B={env}: batch tile must be a positive multiple of 8")
+        return tb
     if batch >= 64:
         return 64
     return 32 if batch > 16 else TILE_B
@@ -737,6 +743,9 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
         # amortizes the Mosaic loop-management overhead over several physics
         # steps per trip. Requires inner_steps % unroll == 0.
         unroll = int(os.environ.get("HTPEM_UNROLL", "1"))
+        if unroll > 1 and inner_steps % unroll:
+            logging.getLogger("hallthrusterpem_tpu").warning(
+                "HTPEM_UNROLL=%d ignored: inner_steps=%d is not a multiple", unroll, inner_steps)
         if unroll > 1 and inner_steps % unroll == 0:
             def body_u(j, carry):
                 for u in range(unroll):
@@ -827,7 +836,7 @@ def simulate_batch_pallas_multi(
     params: dict,
     base_B,
     cfg: SolverConfig,
-    inner_steps: int = 50,
+    inner_steps: int | None = None,
     calls_per_dispatch: int = 40,
     interpret: bool = False,
 ) -> dict:
@@ -840,7 +849,17 @@ def simulate_batch_pallas_multi(
     forfeiting the fused kernel for the lax path.
     """
     if env := os.environ.get("HTPEM_INNER_STEPS"):
+        if inner_steps is not None and int(env) != inner_steps:
+            # env overrides an EXPLICIT caller argument: legal (perf experiments
+            # sweep it process-wide) but must not be silent (advisor round-4) —
+            # and with jit caching, changing the env after first trace is a no-op
+            logging.getLogger("hallthrusterpem_tpu").warning(
+                "HTPEM_INNER_STEPS=%s overrides explicit inner_steps=%d", env, inner_steps)
         inner_steps = int(env)
+        if inner_steps <= 0:
+            raise ValueError(f"HTPEM_INNER_STEPS={env}: must be a positive integer")
+    elif inner_steps is None:
+        inner_steps = 50
     trace = cfg.num_save > 0
     if trace and inner_steps > 128 - _A_TRACE0:
         inner_steps = 128 - _A_TRACE0

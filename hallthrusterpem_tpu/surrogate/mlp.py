@@ -210,14 +210,20 @@ class MLPSurrogate:
         if n is None:
             raise KeyError("none of the system outputs found in the dataset")
         if self.log_names is None:  # resolve "auto" on first (training) pack
+            # robust trigger (advisor round-4): the quantile ratio p99/p1, not
+            # max/min — one near-zero positive sample in an otherwise
+            # narrow-range output must not flip it to log targets and
+            # permanently sign-constrain its predictions
             self.log_names = set()
             for var, start, size, kind in self.out_slices:
                 if kind != "scalar" or var.name not in outputs:
                     continue
                 val = np.asarray(outputs[var.name], dtype=np.float64).reshape(-1)
                 pos = val[np.isfinite(val)]
-                if pos.size and (pos > 0).all() and pos.max() > 5 * pos.min():
-                    self.log_names.add(var.name)
+                if pos.size and (pos > 0).all():
+                    p1, p99 = np.percentile(pos, [1, 99])
+                    if p1 > 0 and p99 > 5 * p1:
+                        self.log_names.add(var.name)
         mat = np.full((n, self.n_out), np.nan)
         for var, start, size, kind in self.out_slices:
             if var.name not in outputs:

@@ -225,7 +225,18 @@ def stretch(
 
     acceptance = n_acc / (niter * W)
     if filename is not None:
-        _append_h5(filename, samples, logps)
+        # On continuation (file already has chains) row 0 here IS the file's
+        # last recorded ensemble (continue_mcmc.py seeds from f['samples'][-1]);
+        # appending it again would duplicate one row per continuation and bias
+        # the IAC/ESS accounting (advisor round-4 finding).
+        skip_first = False
+        if Path(filename).exists():
+            import h5py
+
+            with h5py.File(filename, "r") as f:
+                skip_first = "samples" in f and f["samples"].shape[0] > 0
+        _append_h5(filename, samples[1:] if skip_first else samples,
+                   logps[1:] if skip_first else logps)
     return samples, logps, acceptance
 
 

@@ -46,6 +46,10 @@ parser.add_argument("--mlp-hidden", type=int, nargs="*", default=[256, 256, 256]
 parser.add_argument("--mlp-ensemble", type=int, default=8)
 parser.add_argument("--mlp-chunk", type=int, default=1024, help="eval chunk for resumable data generation")
 parser.add_argument("--mlp-seed", type=int, default=7)
+parser.add_argument("--mlp-log-outputs", nargs="*", default=None,
+                    help="scalar outputs regressed in log10 space for --surrogate mlp "
+                         "(default: auto-detect by p99/p1 dynamic range; pass an empty "
+                         "list to disable log targets entirely)")
 parser.add_argument("--trim", default=None,
                     help="domain classifier pickle (scripts/trim_domain.py): restrict "
                          "--surrogate mlp training-data sampling to the surviving domain")
@@ -136,8 +140,9 @@ def train_mlp(system, args, test_set, config_path: Path):
     # train on EVERY labeled cache in the run dir (gen_mlp_data.py adds
     # per-seed caches; inputs ride along inside each cache's outputs)
     samples, outputs = load_training_caches(config_path.parent, system)
+    log_outputs = "auto" if args.mlp_log_outputs is None else tuple(args.mlp_log_outputs)
     surr = MLPSurrogate(system, hidden=tuple(args.mlp_hidden), ensemble=args.mlp_ensemble,
-                        seed=args.mlp_seed)
+                        seed=args.mlp_seed, log_outputs=log_outputs)
     info = surr.fit(samples, outputs, steps=args.mlp_steps)
     system.system_surrogate = surr
     print(f"=== mlp: {info['n_train']} train samples ({info['fail_frac']:.1%} solver failures), "

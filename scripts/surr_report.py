@@ -71,22 +71,59 @@ def main(argv=None):
             np.abs(idp - idt)[env] / idt[env])), 4),
     }
 
-    # ensemble-spread calibration on the (log-space) I_d head
+    # ensemble-spread calibration on the I_d head, in the HEAD's own space:
+    # log10 when the trainer selected I_d for log regression, linear otherwise
+    # (comparing log-space spread against linear error would make every number
+    # below silently meaningless — advisor round-4 finding)
     xs = (surr.pack_inputs(xt).astype(np.float32) - surr.x_mu) / surr.x_sd
     out = jax.vmap(_net_forward, in_axes=(0, None))(surr.params, jnp.asarray(xs))
-    col = next(start for var, start, *_ in surr.out_slices if var.name == "I_d")
+    ivar, col = next((var, start) for var, start, *_ in surr.out_slices if var.name == "I_d")
+    log_head = "I_d" in (surr.log_names or ())
     mem = np.asarray(out[..., col])
-    spread = mem.std(axis=0)[fin] * np.asarray(surr.y_sd)[col]
-    log_err = np.abs(np.log10(np.maximum(idp, 1e-6)) - np.log10(idt))[fin]
-    report["I_d"]["spread_error_corr"] = round(float(np.corrcoef(spread, log_err)[0, 1]), 3)
-    report["I_d"]["coverage_2sigma"] = round(float((log_err <= 2 * spread).mean()), 4)
-    # deep ensembles under-disperse: the scalar recalibration factor tau makes
-    # tau*2sigma a true 95% band on this held-out set (conformal-style quantile)
-    ratio = log_err / np.maximum(spread, 1e-12)
+    y_sd_c, y_mu_c = float(np.asarray(surr.y_sd)[col]), float(np.asarray(surr.y_mu)[col])
+    head_pred = mem.mean(axis=0)[fin] * y_sd_c + y_mu_c
+    head_true = (np.log10(idt[fin]) if log_head
+                 else np.asarray(ivar.normalize(idt[fin]), dtype=float))
+    spread = mem.std(axis=0)[fin] * y_sd_c
+    err = np.abs(head_pred - head_true)
+    report["I_d"]["head_space"] = "log10" if log_head else "linear"
+    report["I_d"]["spread_error_corr"] = round(float(np.corrcoef(spread, err)[0, 1]), 3)
+    report["I_d"]["coverage_2sigma"] = round(float((err <= 2 * spread).mean()), 4)
+    # deep ensembles under-disperse: conformal-style recalibration. The global
+    # tau is a single inflation factor; the BINNED table below is the
+    # input-dependent calibration (fit on one half, coverage checked on the
+    # other) so the 2-sigma band holds across the envelope, not just on average.
+    ratio = err / np.maximum(spread, 1e-12)
     tau95 = float(np.quantile(ratio, 0.95)) / 2.0
     report["I_d"]["spread_tau_for_95pct"] = round(tau95, 3)
     report["I_d"]["coverage_2sigma_recalibrated"] = round(
-        float((log_err <= tau95 * 2 * spread).mean()), 4)
+        float((err <= tau95 * 2 * spread).mean()), 4)
+
+    # binned conformal calibration: bins by predicted spread quantile (a
+    # prediction-time quantity), per-bin tau from the calibration half,
+    # honest per-bin coverage from the held-out half
+    rng = np.random.default_rng(0)
+    n = err.size
+    cal = np.zeros(n, dtype=bool)
+    cal[rng.permutation(n)[: n // 2]] = True
+    n_bins = 5
+    edges = np.quantile(spread[cal], np.linspace(0, 1, n_bins + 1))
+    edges[0], edges[-1] = -np.inf, np.inf
+    bins_cal = np.clip(np.searchsorted(edges, spread[cal], side="right") - 1, 0, n_bins - 1)
+    bins_ev = np.clip(np.searchsorted(edges, spread[~cal], side="right") - 1, 0, n_bins - 1)
+    table = []
+    for b in range(n_bins):
+        mc, mv = bins_cal == b, bins_ev == b
+        if mc.sum() < 10 or mv.sum() < 10:
+            continue
+        tau_b = float(np.quantile(ratio[cal][mc], 0.95)) / 2.0
+        cov_b = float((err[~cal][mv] <= tau_b * 2 * spread[~cal][mv]).mean())
+        table.append({"spread_lo": round(float(edges[b]) if np.isfinite(edges[b]) else 0.0, 5),
+                      "tau": round(tau_b, 3), "n_eval": int(mv.sum()),
+                      "coverage_2sigma": round(cov_b, 4)})
+    report["I_d"]["binned_calibration"] = table
+    report["I_d"]["binned_min_coverage"] = round(
+        min(t["coverage_2sigma"] for t in table), 4) if table else None
 
     out_path = run_dir / args.output
     with open(out_path, "w") as fd:
