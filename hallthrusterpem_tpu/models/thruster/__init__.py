@@ -199,7 +199,8 @@ def solver_backend(cfg: SolverConfig) -> tuple[str, int]:
     import jax
 
     on_tpu = jax.default_backend() == "tpu"
-    choice = os.environ.get("HTPEM_SOLVER", "")
+    explicit = os.environ.get("HTPEM_SOLVER", "")
+    choice = explicit
     if not choice:
         # num_save no longer forces the lax path: the K-step kernel records
         # full-resolution I_d(t) in spare accumulator lanes at kernel speed
@@ -207,7 +208,21 @@ def solver_backend(cfg: SolverConfig) -> tuple[str, int]:
     if cfg.solve_plume and choice == "pallas" and not PALLAS_SOLVE_PLUME:
         choice = "lax"  # never route plume physics to a kernel that lacks it
     if cfg.neutral_groups > 1 and choice == "pallas" and not PALLAS_NEUTRAL_GROUPS:
-        choice = "lax"  # two-group neutrals not yet ported to the fused kernel
+        # two-group neutrals not ported to the fused kernel: the lax fallback
+        # costs ~48x at nominal fidelity (runs/r4/parity_tpu.json wall times),
+        # which must never happen silently (round-4 verdict)
+        if explicit == "pallas":
+            raise NotImplementedError(
+                "HTPEM_SOLVER=pallas requested, but neutral_groups>1 is not "
+                "implemented in the fused Pallas kernel — unset HTPEM_SOLVER "
+                "to accept the (~48x slower) lax path, or use neutral_groups=1")
+        import logging
+
+        logging.getLogger("hallthrusterpem_tpu").warning(
+            "neutral_groups=%d is not implemented in the fused Pallas kernel: "
+            "falling back to the lax path (~48x slower at nominal fidelity)",
+            cfg.neutral_groups)
+        choice = "lax"
     chunk = int(os.environ.get("HTPEM_CHUNK_STEPS", "2000" if on_tpu else "0"))
     return choice, chunk
 
@@ -225,6 +240,55 @@ def dispatch_solver(params: dict, base_B, cfg: SolverConfig) -> dict:
 
         return simulate_batch_chunked(params, base_B, cfg, chunk_steps=chunk)
     return simulate_batch(params, base_B, cfg)
+
+
+def simulate_batch_sharded(params: dict, base_B, cfg: SolverConfig, mesh,
+                           axis_name: str = "batch", backend: Optional[str] = None,
+                           interpret: bool = False) -> dict:
+    """Run the discharge solve SPMD over a device ``Mesh``, batch axis sharded.
+
+    This is the multi-chip *production* path (SURVEY.md §2.6): ``shard_map``
+    hands each device its batch shard, inside which the regular backend runs —
+    including the fused Pallas K-step kernel, whose ``pallas_call`` batch grid
+    is then per-shard (a Pallas kernel under plain ``jit`` + NamedSharding
+    would not be partitioned automatically). The solve is elementwise over the
+    batch, so there are no collectives: perfect weak scaling over ICI.
+
+    :param params: per-sample parameter dict; every leaf ``(B, ...)`` with B a
+        multiple of the mesh's batch-axis size
+    :param backend: "pallas" | "lax" | None (None = :func:`solver_backend` policy)
+    :param interpret: run the Pallas kernel in interpret mode (CPU CI meshes)
+    """
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map if hasattr(jax, "shard_map") else None
+    if shard_map is None:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    if backend is None:
+        backend, _ = solver_backend(cfg)
+
+    n_shards = mesh.shape[axis_name]
+    B = jnp.shape(next(iter(params.values())))[0]
+    if B % n_shards:
+        raise ValueError(f"batch {B} must divide the {axis_name}-axis size {n_shards} "
+                         "(pad with parallel.mesh.pad_to_multiple)")
+
+    def local_solve(p, bB):
+        if backend == "pallas":
+            from hallthrusterpem_tpu.models.thruster.pallas_step import (
+                simulate_batch_pallas_multi,
+            )
+
+            return simulate_batch_pallas_multi(p, bB, cfg, interpret=interpret)
+        return simulate_batch(p, bB, cfg)
+
+    # check_vma=False: pallas_call's output avals carry no varying-mesh-axes
+    # metadata, so jax's shard_map vma check cannot see through the kernel
+    fn = shard_map(local_solve, mesh=mesh, in_specs=(P(axis_name), P()),
+                   out_specs=P(axis_name), check_vma=False)
+    return fn(params, jnp.asarray(base_B, jnp.float32))
 
 
 def run_simulation(json_input: dict, **_compat) -> dict:

@@ -37,9 +37,14 @@ parser.add_argument("-c", "--max_workers", type=int, default=None, help="(parity
 parser.add_argument("-d", "--discard_outliers", action="store_true",
                     help="drop IQR outliers from the test set (reference fit_surr.py:77-78; "
                          "default keeps them and only drops NaN failures)")
-parser.add_argument("--surrogate", choices=["misc", "mlp"], default="misc",
-                    help="surrogate backend: adaptive MISC (reference parity) or the "
-                         "TPU-native system-level MLP ensemble (surrogate/mlp.py)")
+parser.add_argument("--surrogate", choices=["misc", "mlp"], default="mlp",
+                    help="surrogate backend. Default 'mlp' — the TPU-native system-level "
+                         "MLP ensemble (surrogate/mlp.py) that every committed UQ artifact "
+                         "rides: with the in-process batched solver, labeled data is ~4 "
+                         "orders cheaper than the reference's per-sample Julia subprocess, "
+                         "which inverts the design constraint the MISC interpolant was "
+                         "built for. 'misc' is the reference-parity adaptive "
+                         "multi-fidelity sparse-grid mode (docs/surrogate.md)")
 parser.add_argument("--mlp-samples", type=int, default=16384, help="training samples for --surrogate mlp")
 parser.add_argument("--mlp-steps", type=int, default=6000)
 parser.add_argument("--mlp-hidden", type=int, nargs="*", default=[256, 256, 256])

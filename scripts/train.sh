@@ -49,7 +49,10 @@ TARGET_ARGS=""
 [ -n "$TARGETS" ] && TARGET_ARGS="--targets$TARGETS"
 
 GEN_CMD="python $SCRIPT_DIR/gen_data.py $CONFIG -c $COMPRESSION_SAMPLES -t $TEST_SAMPLES"
-FIT_CMD="python $SCRIPT_DIR/fit_surr.py $CONFIG --search -i $MAX_ITER -m $MAX_TOL -f $FIDELITY -N $NUM_REFINE -n $SAVE_INTERVAL -C $CACHE_INTERVAL $TARGET_ARGS"
+# SURROGATE=misc selects the reference-parity adaptive sparse-grid engine;
+# the default mlp is the TPU-native data-rich ensemble (docs/surrogate.md)
+SURROGATE="${SURROGATE:-mlp}"
+FIT_CMD="python $SCRIPT_DIR/fit_surr.py $CONFIG --search --surrogate $SURROGATE -i $MAX_ITER -m $MAX_TOL -f $FIDELITY -N $NUM_REFINE -n $SAVE_INTERVAL -C $CACHE_INTERVAL $TARGET_ARGS"
 SLICE_CMD="python $SCRIPT_DIR/plot_slice.py $CONFIG --search"
 
 if [ "$USE_SLURM" = "1" ] && command -v sbatch >/dev/null 2>&1; then

@@ -40,7 +40,7 @@ def test_pipeline_gen_fit_slice(workdir, monkeypatch):
     assert uvar.compression.projection is not None
     assert uvar.compression.latent_size >= 1
 
-    fit_surr.main([str(comp_yml), "-i", "6", "-m", "1e-8", "-N", "64"])
+    fit_surr.main([str(comp_yml), "--surrogate", "misc", "-i", "6", "-m", "1e-8", "-N", "64"])
     trained = data_dir / "fake-pem_trained.yml"
     assert trained.exists()
 
@@ -193,7 +193,7 @@ def test_mcmc_on_device_parity(workdir, monkeypatch, capsys):
     monkeypatch.chdir(workdir)
     gen_data.main([str(workdir / "fake_pem.yml"), "-c", "32", "-t", "16"])
     comp_yml = workdir / "amisc_data" / "fake-pem_compression.yml"
-    fit_surr.main([str(comp_yml), "-i", "4", "-m", "1e-8", "-N", "32"])
+    fit_surr.main([str(comp_yml), "--surrogate", "misc", "-i", "4", "-m", "1e-8", "-N", "32"])
     trained = workdir / "amisc_data" / "fake-pem_trained.yml"
 
     argv = [str(trained), "--data", "spt100", "--qois", "V_cc", "T", "I_d", "u_ion"]
