@@ -49,14 +49,24 @@ BOX = {
     "tan_div": (0.12, 0.45, False),
 }
 
+#: narrow refinement box around the sweep-c winners (--box refine)
+BOX_REFINE = {
+    "u_n": (128.0, 168.0, False),
+    "a1": (0.0050, 0.0078, True),
+    "a2_mult": (28.0, 45.0, False),
+    "anom_depth": (0.89, 1.0, False),
+    "tan_div": (0.18, 0.30, False),
+}
 
-def sample_candidates(n: int, seed: int = 0) -> dict:
+
+def sample_candidates(n: int, seed: int = 0, box: dict = None) -> dict:
     from scipy.stats import qmc
 
-    eng = qmc.Sobol(d=len(BOX), seed=seed)
+    box = box or BOX
+    eng = qmc.Sobol(d=len(box), seed=seed)
     u = eng.random(n)
     cand = {}
-    for j, (name, (lo, hi, log)) in enumerate(BOX.items()):
+    for j, (name, (lo, hi, log)) in enumerate(box.items()):
         if log:
             cand[name] = 10 ** (np.log10(lo) + u[:, j] * (np.log10(hi) - np.log10(lo)))
         else:
@@ -149,13 +159,15 @@ def main(argv=None):
     parser.add_argument("--width", type=float, default=1.5e-3)
     parser.add_argument("--wall-recycling", type=float, default=0.93)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--box", choices=["wide", "refine"], default="wide")
     parser.add_argument("-o", "--output", default="runs/r5/tune_nominals.json")
     args = parser.parse_args(argv)
 
     lif = np.genfromtxt(DATA / "uion_macdonald2019.csv", delimiter=",", skip_header=1)
     lif_groups = {float(pb): lif[lif[:, 0] == pb] for pb in np.unique(lif[:, 0])}
 
-    cand = sample_candidates(args.num, seed=args.seed)
+    cand = sample_candidates(args.num, seed=args.seed,
+                             box=BOX_REFINE if args.box == "refine" else BOX)
     t0 = time.time()
     out = run_batch(cand, args.frac, args.width, wall_recycling=args.wall_recycling)
     wall = time.time() - t0
@@ -174,7 +186,7 @@ def main(argv=None):
     with open(out_path, "w") as fd:
         json.dump({"frac": args.frac, "width": args.width,
                    "wall_recycling": args.wall_recycling, "fixed": FIXED,
-                   "box": {k: v[:2] for k, v in BOX.items()}, "wall_s": round(wall, 1),
+                   "box": {k: v[:2] for k, v in (BOX_REFINE if args.box == "refine" else BOX).items()}, "wall_s": round(wall, 1),
                    "rows": rows[:50]}, fd, indent=1)
     print(f"saved {out_path}")
 
