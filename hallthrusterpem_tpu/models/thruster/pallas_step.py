@@ -957,7 +957,7 @@ def _pack_consts(params: dict, base_B, cfg: SolverConfig):
     scalars = scalars.at[:, _P_UN].set(jnp.maximum(params["u_n"], 10.0))
     scalars = scalars.at[:, _P_CW].set(params["c_w"])
     scalars = scalars.at[:, _P_TECATH].set(params["T_e_cath"])
-    scalars = scalars.at[:, _P_TANDIV].set(params.get("tan_div", jnp.full((B,), 0.364)))
+    scalars = scalars.at[:, _P_TANDIV].set(params.get("tan_div", jnp.full((B,), 0.1835)))
     zeros = jnp.zeros((B,), jnp.float32)
     scalars = scalars.at[:, _P_RC].set(params.get("circuit_R", zeros))
     scalars = scalars.at[:, _P_LDT].set(params.get("circuit_L", zeros) * (1.0 / cfg.dt))

@@ -24,16 +24,22 @@ from hallthrusterpem_tpu.utils import load_thruster
 
 __all__ = ["CoupledPEM", "default_coupled_inputs"]
 
-#: nominal pem_v0 SPT-100 input set (reference pem_v0_SPT-100.yml nominals)
+#: nominal pem_v0 SPT-100 input set (reference pem_v0_SPT-100.yml variable map;
+#: u_n/a_1/a_2 are the round-5 frac-0.55 re-tuned values,
+#: runs/r5/tune_d_refine.json idx 184)
 _NOMINALS = {
     "P_b": 1e-5, "V_a": 300.0, "mdot_a": 5e-6,
     "T_e": 1.32721, "V_vac": 31.61135, "Pstar": 34.63406e-6, "P_T": 10.19193e-6,
-    "u_n": 141.24234, "l_t": 1.87915e-3, "a_1": 0.00680237, "a_2": 14.645,
+    "u_n": 145.40052, "l_t": 1.87915e-3, "a_1": 0.00561226, "a_2": 41.1918,
     # dz nominal 0.2 = this solver's shift-convention equivalent of the
     # reference's 0.4 (see pem_v0_SPT-100.yml note + docs/validation.md round 4)
     "dz": 0.2, "z0": -0.03104, "p0": 56.86006e-6,
-    "c0": 0.92434, "c1": 0.81486, "c2": 14.00547, "c3": 0.44667,
-    "c4": 1e20, "c5": 1e16, "sigma_cex": 55.0e-20,
+    # plume c0..c5: round-5 least-squares fit of the Diamant 2014 Faraday
+    # sweeps (3 pressures, r = 1 m) at the solver's I_B0 — rel-L2
+    # 0.14/0.12/0.43 by pressure (high pressure is model-form limited; see
+    # scripts/anchors.py JION tolerances)
+    "c0": 0.15936, "c1": 0.87594, "c2": 0.48206, "c3": 0.35883,
+    "c4": 3.1186e20, "c5": 1.2786e17, "sigma_cex": 55.0e-20,
 }
 
 

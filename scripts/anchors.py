@@ -41,9 +41,11 @@ CONFIG = REPO / "scripts" / "pem_v0" / "pem_v0_SPT-100.yml"
 # Diamant 2014 rows are interpolated to P_b = 1e-5 Torr; I_B0/eta bands are the
 # published-estimate ranges quoted in docs/validation.md (round-3 table).
 SCALAR_ANCHORS = [
+    # round-5 ratcheted design-point table (VERDICT round-4 item 6: T<=3%,
+    # I_d<=4%, I_B0<=10% this round, toward the 1% north star)
     {"name": "diamant_300V_5.16mg_1e-5Torr", "P_b": 1.0e-5, "V_a": 300.0, "mdot_a": 5.16e-6,
      "data": {"T": 81.7e-3, "I_d": 4.60, "V_cc": 32.5, "I_B0": 3.6, "eta_c": 0.775, "eta_m": 0.90},
-     "tol": {"T": 0.06, "I_d": 0.08, "V_cc": 0.10, "I_B0": 0.20, "eta_c": 0.15, "eta_m": 0.10}},
+     "tol": {"T": 0.03, "I_d": 0.04, "V_cc": 0.05, "I_B0": 0.10, "eta_c": 0.12, "eta_m": 0.08}},
     {"name": "sankovic_250V_5.16mg", "P_b": 5.0e-6, "V_a": 250.0, "mdot_a": 5.16e-6,
      "data": {"T": 72.0e-3, "I_d": 4.60},
      "tol": {"T": 0.12, "I_d": 0.15}},
@@ -58,7 +60,21 @@ SCALAR_ANCHORS = [
 ]
 
 # u_ion(z) LIF anchors (MacDonald-Tenenbaum 2019): rel-L2 tolerance per pressure
-UION_TOL = 0.25
+# (round-5 ratchet 0.25 -> 0.16; frac-0.55 re-tune measured 0.09-0.15)
+UION_TOL = 0.16
+
+# j_ion(theta) Faraday-probe anchors (Diamant 2014, r = 1 m sweeps at three
+# background pressures): rel-L2 tolerance over the measured angles. This is
+# the plume's data-facing contract (reference ``plume.py:21-159`` consumed as
+# a first-class QoI per ``pem_to_julia.json:28-36``) — the same dataset the
+# MCMC likelihood uses, anchored here at the pem_v0 nominal plume fit.
+# Per-pressure tolerances: the 2.9e-5 Torr sweep is model-form limited — the
+# measured on-axis current RISES with background pressure (beam narrowing +
+# ingestion) while any fixed-divergence beam + CEX-attenuation model of this
+# family (ours and the reference's) attenuates; the best global least-squares
+# fit over all three sweeps floors at ~0.43 there vs 0.12-0.14 at low/mid
+# pressure (fit in pem._NOMINALS provenance note).
+JION_TOL = {1.7e-6: 0.20, 8.4e-6: 0.20, 2.9e-5: 0.50}
 
 
 def nominal_batch(system, conds: list[dict]) -> dict:
@@ -76,7 +92,7 @@ def nominal_batch(system, conds: list[dict]) -> dict:
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("-o", "--output", default="runs/r4/anchors.json")
+    parser.add_argument("-o", "--output", default="runs/r5/anchors.json")
     args = parser.parse_args(argv)
 
     import jax
@@ -93,8 +109,16 @@ def main(argv=None):
         rows = lif[lif[:, 0] == pb]
         lif_groups[float(pb)] = (rows[:, 3], rows[:, 4])  # z (m from anode), u (m/s)
 
+    # j_ion(theta) Faraday sweeps, grouped by background pressure (r = 1 m)
+    faraday = np.genfromtxt(DATA / "jion_diamant2014.csv", delimiter=",", skip_header=1)
+    jion_groups = {}
+    for pb in np.unique(faraday[:, 0]):
+        rows = faraday[faraday[:, 0] == pb]
+        jion_groups[float(pb)] = (np.deg2rad(rows[:, 4]), rows[:, 5])  # theta (rad), j (A/m^2)
+
     conds = [dict(P_b=c["P_b"], V_a=c["V_a"], mdot_a=c["mdot_a"]) for c in SCALAR_ANCHORS]
     conds += [dict(P_b=pb, V_a=300.0, mdot_a=5.16e-6) for pb in lif_groups]
+    conds += [dict(P_b=pb, V_a=300.0, mdot_a=5.16e-6) for pb in jion_groups]
     batch = nominal_batch(system, conds)
     out = system.predict(batch, use_model="best")
     out = {k: np.asarray(v) for k, v in out.items()}
@@ -134,6 +158,23 @@ def main(argv=None):
                                     "n_points": int(len(z_obs)),
                                     "pass": bool(np.isfinite(rel_l2) and rel_l2 <= UION_TOL)}},
                  "pass": bool(np.isfinite(rel_l2) and rel_l2 <= UION_TOL)}
+        artifact["conditions"].append(entry)
+        print(f"{entry['name']}: rel_l2={rel_l2:.4f} pass={entry['pass']}")
+
+    # j_ion(theta) rel-L2 on the Faraday angles (model sweep is 0-90 deg, 1 deg)
+    theta_grid = np.asarray(out["j_ion_coords"])
+    for j, (pb, (th_obs, j_obs)) in enumerate(sorted(jion_groups.items())):
+        i = n_scalar + len(lif_groups) + j
+        th_row = theta_grid[i] if theta_grid.ndim > 1 else theta_grid
+        j_model = np.interp(th_obs, th_row, out["j_ion"][i])
+        rel_l2 = float(np.linalg.norm(j_model - j_obs) / np.linalg.norm(j_obs))
+        tol = JION_TOL[min(JION_TOL, key=lambda p: abs(p - pb))]
+        entry = {"name": f"jion_diamant_{pb:.1e}Torr",
+                 "operating": {"P_b": pb, "V_a": 300.0, "mdot_a": 5.16e-6},
+                 "qois": {"j_ion": {"rel_l2": round(rel_l2, 4), "tol": tol,
+                                    "n_points": int(len(th_obs)),
+                                    "pass": bool(np.isfinite(rel_l2) and rel_l2 <= tol)}},
+                 "pass": bool(np.isfinite(rel_l2) and rel_l2 <= tol)}
         artifact["conditions"].append(entry)
         print(f"{entry['name']}: rel_l2={rel_l2:.4f} pass={entry['pass']}")
 

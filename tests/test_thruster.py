@@ -248,9 +248,9 @@ def test_spt100_nominal_accuracy_regression():
     params = make_params({
         # pem_v0_SPT-100.yml nominal calibration values
         "V_d": 300.0, "mdot_a": 5.16e-6, "V_cc": 31.9, "P_b": 1e-5,
-        "u_n": 141.24234, "l_t": 1.87915e-3, "T_e_cath": 1.32721,
-        "a1": 0.00680237, "a2": 14.645 * 0.00680237, "c_w": 1.0,
-        "shift_dz": 0.4, "shift_z0": -0.03104, "shift_pstar": 56.86006e-6,
+        "u_n": 145.40052, "l_t": 1.87915e-3, "T_e_cath": 1.32721,
+        "a1": 0.00561226, "a2": 41.1918 * 0.00561226, "c_w": 1.0,
+        "shift_dz": 0.2, "shift_z0": -0.03104, "shift_pstar": 56.86006e-6,
         "circuit_R": 0.5,
     }, batch_shape=(1,))
     out = {k: np.asarray(v) for k, v in dispatch_solver(params, base_B, cfg).items()}
