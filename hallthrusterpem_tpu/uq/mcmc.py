@@ -194,6 +194,22 @@ def stretch(
     W, d = x0.shape
     if W < 2 * d:
         raise ValueError(f"stretch sampler needs >= 2*d walkers (have {W}, d={d})")
+    # The stretch move proposes within the affine span of the ensemble: a
+    # dimension whose initial spread is (near) zero can NEVER diversify, and
+    # the chain reports a silent std~0 "pin" there (round-4 Pstar/P_T
+    # diagnosis — Laplace flat directions clipped to a prior bound froze).
+    # Re-jitter any collapsed dimension at 1e-3 of its ensemble-center scale.
+    spread = x0.std(axis=0)
+    ref = np.maximum(np.abs(x0).max(axis=0), 1e-12)
+    frozen = spread < 1e-9 * ref
+    if frozen.any():
+        import warnings
+
+        warnings.warn(f"stretch: re-jittering {int(frozen.sum())} zero-spread "
+                      "ensemble dimension(s); a frozen dimension cannot mix",
+                      stacklevel=2)
+        jit = 1e-3 * ref[frozen]
+        x0[:, frozen] = x0[:, frozen] + jit * rng.standard_normal((W, int(frozen.sum())))
     half = W // 2
 
     samples = np.empty((niter + 1, W, d))

@@ -87,13 +87,21 @@ def nearest_positive_definite(A: np.ndarray) -> np.ndarray:
 
 
 def normal_sample(mean, cov, size: int, seed: int = 0) -> np.ndarray:
-    """Multivariate normal samples (with PD repair if needed)."""
+    """Multivariate normal samples (with PD repair if needed).
+
+    Sampling goes through our own Cholesky factor of the (repaired)
+    covariance: numpy's ``multivariate_normal`` re-checks PSD with an SVD
+    tolerance that Higham-repaired matrices near the float64 floor still trip
+    (round-4 advisor finding — the warning fired inside the Laplace
+    preconditioning path even after repair)."""
     mean = np.atleast_1d(np.asarray(mean, dtype=np.float64))
     cov = np.atleast_2d(np.asarray(cov, dtype=np.float64))
     if not is_positive_definite(cov):
         cov = nearest_positive_definite(cov)
+    chol = np.linalg.cholesky(cov)
     rng = np.random.default_rng(seed)
-    return rng.multivariate_normal(mean, cov, size=size)
+    z = rng.standard_normal((size, mean.shape[0]))
+    return mean + z @ chol.T
 
 
 def laplace_approximation(log_post: Callable, x_map: np.ndarray, rel_step: float = 1e-4,

@@ -321,6 +321,22 @@ def build_device_posterior(system, args, calib, names, ops, obs, sig, fields):
     return np_wrapper, jitted
 
 
+def _reflect_into(x: np.ndarray, dom: np.ndarray) -> np.ndarray:
+    """Fold samples into [lo, hi] by reflection at the bounds.
+
+    Clipping an initial walker ensemble flattens every out-of-bounds sample
+    onto the SAME bound value — a zero-spread dimension that the affine-
+    invariant stretch move can then never diversify (the round-4 Pstar/P_T
+    "posterior pin"). Reflection preserves the spread.
+    """
+    lo, hi = dom[:, 0], dom[:, 1]
+    width = hi - lo
+    y = np.mod(np.asarray(x, dtype=np.float64) - lo, 2 * width)
+    y = np.where(y > width, 2 * width - y, y)
+    margin = 1e-6 * width
+    return lo + np.clip(y, margin, width - margin)
+
+
 def main(argv=None):
     args = parser.parse_args(argv)
     system = load_system(args)
@@ -396,22 +412,19 @@ def main(argv=None):
         cov0 = (2.38**2 / len(calib)) * cov_l
         dom = np.array([v.get_domain() for v in calib], dtype=float)
         starts = normal_sample(x_map, cov_l, args.walkers, seed=1)
-        margin = 1e-6 * (dom[:, 1] - dom[:, 0])
-        x0 = np.clip(starts, dom[:, 0] + margin, dom[:, 1] - margin)
+        x0 = _reflect_into(starts, dom)
 
     if args.sampler == "stretch":
         dom = np.array([v.get_domain() for v in calib], dtype=float)
-        margin = 1e-6 * widths
         if np.ndim(x0) == 1:
             rng = np.random.default_rng(1)
             x0 = x0[None] + 0.02 * widths * rng.standard_normal((args.walkers, len(calib)))
-        x0 = np.clip(x0, dom[:, 0] + margin, dom[:, 1] - margin)
+        x0 = _reflect_into(x0, dom)
         if x0.shape[0] < 2 * len(calib):  # stretch needs a real ensemble
             reps = -(-2 * len(calib) // x0.shape[0])
             rng = np.random.default_rng(2)
             x0 = np.concatenate([x0] * reps)[: 2 * len(calib)]
-            x0 = np.clip(x0 + 0.005 * widths * rng.standard_normal(x0.shape),
-                         dom[:, 0] + margin, dom[:, 1] - margin)
+            x0 = _reflect_into(x0 + 0.005 * widths * rng.standard_normal(x0.shape), dom)
         samples, logps, acc = stretch(log_posterior, x0, niter=args.niter,
                                       n_walkers=x0.shape[0], filename=args.file,
                                       progress=True)
