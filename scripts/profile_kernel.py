@@ -52,6 +52,45 @@ def time_config(pem_inputs, duration, fidelity, tile_b, inner_steps, num_save):
     return min(times), int(np.isfinite(T).sum())
 
 
+def lax_step_flops(inputs, duration, fidelity):
+    """Per-step FLOPs of the IDENTICAL physics, from XLA's own cost analysis.
+
+    XLA cannot see inside a Pallas custom call, so the denominator for a
+    utilization claim comes from compiling the lax path (same discretization,
+    same update algebra) and reading ``compiled.cost_analysis()['flops']``.
+    XLA's cost model counts a ``while``/``scan`` body ONCE regardless of trip
+    count (verified: flops identical for K=1/10/50), so the segment total IS
+    the per-step figure. This slightly over-counts the kernel (the fused VMEM
+    kernel elides some broadcasts/masks XLA materializes) — utilization quoted
+    against it is therefore an upper-bound-honest estimate.
+    """
+    import jax
+
+    from hallthrusterpem_tpu.models.thruster import _load_bfield, _tree_to_solver_inputs
+    from hallthrusterpem_tpu.models.thruster.solver import _init_batch, _segment_batch
+    from hallthrusterpem_tpu.utils import load_thruster
+
+    K = 50  # trip count is irrelevant to the count (see docstring)
+    tree = {"config": {"discharge_voltage": 300.0, "anode_mass_flow_rate": 5e-6,
+                       "ncharge": fidelity[1] + 1, "domain": [0, 0.08]},
+            "simulation": {"grid": {"num_cells": 50 * (fidelity[0] + 2)},
+                           "duration": duration},
+            "postprocess": {}}
+    cfg, _, _ = _tree_to_solver_inputs(tree)
+    from hallthrusterpem_tpu.models.thruster.config import make_params
+
+    B = int(np.shape(next(iter(inputs.values())))[0])
+    params = make_params({"V_d": np.full(B, 300.0), "mdot_a": np.full(B, 5e-6)},
+                         batch_shape=(B,))
+    base_B = jax.numpy.asarray(_load_bfield(load_thruster("SPT-100"), cfg), jax.numpy.float32)
+    carry = jax.eval_shape(lambda p, bB: _init_batch(p, bB, cfg), params, base_B)
+    fn = jax.jit(lambda p, bB, c: _segment_batch(p, bB, c, cfg, K))
+    compiled = fn.lower(params, base_B, carry).compile()
+    cost = compiled.cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    return float(cost.get("flops", float("nan")))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("-B", "--batch", type=int, default=1024)
@@ -61,7 +100,7 @@ def main(argv=None):
                         help="comma list of tile_b:inner_steps configs")
     parser.add_argument("--trace-dir", default=None,
                         help="capture a jax.profiler trace of the final config here")
-    parser.add_argument("-o", "--output", default="runs/r4/kernel_profile.json")
+    parser.add_argument("-o", "--output", default="runs/r5/kernel_profile.json")
     args = parser.parse_args(argv)
 
     import jax
@@ -133,6 +172,34 @@ def main(argv=None):
         print(f"best: tile_b={best['tile_b']} K={best['inner_steps']} "
               f"{best['us_per_step']} us/step; K-block HBM {hbm_gbs:.1f} GB/s "
               f"({hbm_gbs / 819:.1%} of v5e peak)")
+
+        # FLOP-utilization: the round-4 verdict asked for an achieved-vs-peak
+        # number alongside us/step, not just "not bandwidth-bound".
+        try:
+            fps = lax_step_flops(inputs, args.duration, fidelity)
+        except Exception as err:  # noqa: BLE001
+            roofline["flops_error"] = f"{type(err).__name__}: {err}"
+        else:
+            achieved = fps / (best["us_per_step"] * 1e-6)
+            # v5e/v5lite TensorCore VPU: 8x128 lanes x 4 ALU issue x ~0.94 GHz
+            # ~= 3.9e12 f32 FLOP/s (stated assumption; the solver is a 1-D FV
+            # stencil update — elementwise VPU work, no MXU matmuls to count)
+            vpu_peak = 3.9e12
+            roofline.update({
+                "lax_flops_per_step": round(fps),
+                "achieved_tflops": round(achieved / 1e12, 3),
+                "vpu_peak_assumption_tflops": vpu_peak / 1e12,
+                "vpu_utilization": round(achieved / vpu_peak, 4),
+                "flops_note": "per-step FLOPs from XLA cost_analysis of the "
+                              "identical lax-path K-step segment (XLA cannot "
+                              "count inside the Pallas custom call); the fused "
+                              "kernel elides some materialized broadcasts, so "
+                              "true utilization is <= this estimate's "
+                              "numerator bias",
+            })
+            print(f"utilization: {fps / 1e6:.1f} MFLOP/step (lax XLA count) -> "
+                  f"{achieved / 1e12:.3f} TFLOP/s achieved "
+                  f"= {achieved / vpu_peak:.1%} of the ~{vpu_peak / 1e12:.1f} TFLOP/s VPU assumption")
 
     if args.trace_dir and best is not None:
         os.environ["HTPEM_TILE_B"] = str(best["tile_b"])
