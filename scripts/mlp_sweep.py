@@ -22,7 +22,7 @@ from pathlib import Path
 
 import numpy as np
 
-SURR_DIR = _Path("runs/r4/surr")
+SURR_DIR = _Path("runs/r5/surr")
 
 VARIANTS = [
     {"name": "base6k", "hidden": (256, 256, 256), "steps": 6000},
@@ -45,21 +45,23 @@ TARGETS = ["T", "I_d", "I_B0", "u_ion", "j_ion", "eta_m", "eta_v", "V_cc"]
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--save-best", action="store_true")
+    parser.add_argument("--dir", default=str(SURR_DIR), help="surrogate run directory")
     parser.add_argument("--variants", nargs="*", default=None)
-    parser.add_argument("-o", "--output", default="runs/r4/surr/mlp_sweep.json")
+    parser.add_argument("-o", "--output", default=None)
     args = parser.parse_args(argv)
 
     from hallthrusterpem_tpu.core.system import System
     from hallthrusterpem_tpu.surrogate.mlp import MLPSurrogate
 
-    system = System.load_from_file(SURR_DIR / "pem_v0_SPT-100_compression.yml")
+    surr_dir = _Path(args.dir)
+    system = System.load_from_file(surr_dir / "pem_v0_SPT-100_compression.yml")
     system.set_logger(stdout=True)
 
     from hallthrusterpem_tpu.surrogate.mlp import load_training_caches
 
-    samples, outputs = load_training_caches(SURR_DIR, system)
+    samples, outputs = load_training_caches(surr_dir, system)
 
-    with open(SURR_DIR / "test_set.pkl", "rb") as fd:
+    with open(surr_dir / "test_set.pkl", "rb") as fd:
         test = pickle.load(fd)
     keep = ~np.asarray(test["discard"]) if test.get("discard") is not None else slice(None)
     xt = {k: np.asarray(v)[keep] for k, v in test["samples"].items()}
@@ -89,7 +91,7 @@ def main(argv=None):
         if best is None or score < best[0]:
             best = (score, name, surr)
 
-    out_path = Path(args.output)
+    out_path = Path(args.output) if args.output else surr_dir / "mlp_sweep.json"
     out_path.parent.mkdir(parents=True, exist_ok=True)
     with open(out_path, "w") as fd:
         json.dump(results, fd, indent=1)
@@ -97,8 +99,8 @@ def main(argv=None):
 
     if args.save_best:
         system.system_surrogate = best[2]
-        system.save_to_file("pem_v0_SPT-100_trained.yml", SURR_DIR)
-        print(f"saved trained system ({best[1]}) -> {SURR_DIR}/pem_v0_SPT-100_trained.yml")
+        system.save_to_file("pem_v0_SPT-100_trained.yml", surr_dir)
+        print(f"saved trained system ({best[1]}) -> {surr_dir}/pem_v0_SPT-100_trained.yml")
 
 
 if __name__ == "__main__":
