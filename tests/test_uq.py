@@ -130,3 +130,45 @@ def test_stretch_recovers_anisotropic_gaussian(tmp_path):
     flat = samples[1000:].reshape(-1, 3)
     assert np.allclose(flat.mean(axis=0), mean, atol=0.2 * std)
     assert np.allclose(flat.std(axis=0), std, rtol=0.3)
+
+
+def test_stretch_rejitters_frozen_dimension():
+    """A zero-spread ensemble dimension can never diversify under the stretch
+    move (proposals stay in the ensemble's affine span) — the round-4
+    Pstar/P_T 'posterior pin at the bound with std 0' artifact. stretch()
+    must detect it, warn, and re-jitter so the dimension mixes."""
+    import warnings
+
+    from hallthrusterpem_tpu.uq import stretch
+
+    mean = np.array([0.0, 5.0])
+
+    def logpdf(x):
+        return -0.5 * np.sum((np.atleast_2d(x) - mean) ** 2, axis=-1)
+
+    x0 = np.random.default_rng(0).standard_normal((16, 2))
+    x0[:, 1] = 5.0  # collapsed dimension (e.g. every walker clipped to a bound)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        samples, _, _ = stretch(logpdf, x0, niter=2000, n_walkers=16, seed=0)
+    assert any("zero-spread" in str(w.message) for w in rec)
+    flat = samples[500:, :, 1].ravel()
+    assert flat.std() > 0.5, "frozen dimension did not mix after re-jitter"
+
+
+def test_normal_sample_degenerate_cov_no_warning():
+    """Cholesky-based sampling after Higham repair must not trip numpy's PSD
+    re-check (round-4: the warning fired inside Laplace preconditioning)."""
+    import warnings
+
+    from hallthrusterpem_tpu.uq import normal_sample
+
+    # rank-deficient covariance (worst case for the repair path)
+    v = np.array([[1.0, 2.0, 3.0]])
+    cov = v.T @ v
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        s = normal_sample(np.zeros(3), cov, size=256, seed=0)
+    assert s.shape == (256, 3)
+    assert np.isfinite(s).all()
+    assert not any("positive-semidefinite" in str(w.message) for w in rec)
