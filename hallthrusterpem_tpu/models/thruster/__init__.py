@@ -478,7 +478,17 @@ def hallthruster_jl(
         # diagnostic/CI solves (e.g. 60 us) are not mislabeled as quenched.
         avg_start = float(tree.get("postprocess", {}).get("average_start_time", 0.0) or 0.0)
         if "I_d" in outputs and avg_start >= 2e-4:
-            bad = bad | (np.asarray(outputs["I_d"]) < 0.2 * i_eq)
+            # ... and cannot (time-averaged) EXCEED ~8x the anode-flow-
+            # equivalent current either: published Hall discharges run at
+            # I_d/I_eq ~ 1-3 and the widest pem_v0 prior corners reach ~6
+            # (measured over the round-5 49k corpus: live population tops out
+            # at 6.0, the breathing-runaway population starts at ~16 and runs
+            # to 113 — 37/47k rows). A 100 A "SPT-100" average is a model-
+            # validity failure (the reference solver diverges -> raise -> NaN,
+            # thruster.py:490-502), and its label poisons any regression that
+            # trains on it.
+            i_d_arr = np.asarray(outputs["I_d"])
+            bad = bad | (i_d_arr < 0.2 * i_eq) | (i_d_arr > 8.0 * i_eq)
     if shock_threshold is not None and "u_ion" in outputs:
         z = outputs["u_ion_coords"]
         ui = outputs["u_ion"]
