@@ -55,6 +55,11 @@ parser.add_argument("--laplace", action="store_true",
 parser.add_argument("--qois", nargs="*", default=["V_cc", "T", "I_d"],
                     help="QoIs for the likelihood; u_ion / j_ion add the field terms "
                          "(SVD-latent reconstruction, reference mcmc.py:85-89)")
+parser.add_argument("--field-weight", type=float, default=1.0,
+                    help="multiplier on the field (u_ion/j_ion) log-likelihood blocks. "
+                         "The reference's plain-sum likelihood (mcmc.py:95-104) lets the "
+                         "~228 field points outvote the ~41 scalar observations; ~0.2 "
+                         "weights each QoI GROUP about equally (41/228)")
 parser.add_argument("--id-penalty", type=float, default=2.0,
                     help="extra weight on the discharge-current misfit (reference mcmc.py:95-104)")
 parser.add_argument("--on-device", action="store_true",
@@ -172,7 +177,8 @@ def build_numpy_posterior(system, args, calib, names, ops, obs, sig, fields):
                 interp = np.stack([np.interp(spec["coords"], g0, row) for row in pk])
                 r = (interp.reshape(W, M, -1) - spec["vals"]) / spec["stds"]
                 bad |= ~np.isfinite(r).all(axis=-1)
-                ll += -0.5 * np.sum(np.where(np.isfinite(r), r, 0.0) ** 2, axis=-1)
+                ll += -0.5 * args.field_weight * np.sum(
+                    np.where(np.isfinite(r), r, 0.0) ** 2, axis=-1)
         ll = np.where(bad | ~np.isfinite(ll), -np.inf, ll)
         # logsumexp over the M noise samples (reference mcmc.py:103-104)
         mx = np.max(ll, axis=1, keepdims=True)
@@ -290,7 +296,8 @@ def build_device_posterior(system, args, calib, names, ops, obs, sig, fields):
                 interp = jax.vmap(lambda row: jnp.interp(coords, grid[: rows.shape[-1]], row))(rows)
                 r = (interp.reshape(W, M, -1) - vals) / stds
                 bad |= ~jnp.isfinite(r).all(axis=-1)
-                ll += -0.5 * jnp.sum(jnp.where(jnp.isfinite(r), r, 0.0) ** 2, axis=-1)
+                ll += -0.5 * float(args.field_weight) * jnp.sum(
+                    jnp.where(jnp.isfinite(r), r, 0.0) ** 2, axis=-1)
 
         # logsumexp over the M fixed noise samples (matches the NumPy path)
         ll = jnp.where(bad | ~jnp.isfinite(ll), -jnp.inf, ll)
