@@ -11,7 +11,7 @@ this framework runs an in-process, jittable, batched 1-D finite-volume Hall-disc
 solver and parallelizes over samples with ``vmap``/``shard_map`` on a TPU mesh.
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 import logging as _logging
 
