@@ -305,3 +305,17 @@ def test_mlp_surrogate_pipeline(workdir):
     assert "sys_fail_prob" in out_dev
     # the fake model never fails: classifier should say so
     assert float(np.asarray(out_dev["sys_fail_prob"]).max()) < 0.5
+
+
+def test_remask_validity_mask():
+    """The discharge-current validity rule (wrapper absurdity guard) and the
+    cache post-pass must agree: I_d/I_eq outside [0.2, 8] is a failure."""
+    import numpy as np
+
+    from remask_validity import validity_mask
+
+    mdot = np.full(5, 5e-6)
+    i_eq = 1.602176634e-19 * 5e-6 / 2.1801714e-25  # ~3.67 A
+    i_d = np.array([0.05 * i_eq, 0.5 * i_eq, 6.0 * i_eq, 16.0 * i_eq, np.nan])
+    bad = validity_mask(i_d, mdot)
+    assert bad.tolist() == [True, False, False, True, False]  # NaN rows already masked
