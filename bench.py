@@ -40,6 +40,12 @@ import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/hallthrusterpem_tpu_jax_cache")
+# Manual x2 unroll of the K-step kernel body: measured +3% on the no-trace
+# path (97.8 -> 94.9 us/step, docs/validation.md round-4 unroll experiment).
+# The bench workload runs without trace lanes, which is exactly the regime
+# where the gain holds; the package default stays 1 because the win vanishes
+# with traces on and costs compile time.
+os.environ.setdefault("HTPEM_UNROLL", "2")
 
 # 64-way HallThruster.jl CPU at 30 s per 2 ms sim (BASELINE.md)
 REFERENCE_SIM_MS_PER_SEC = 64.0 * 2.0 / 30.0
