@@ -303,7 +303,7 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
             if not cfg.reconstruct:
                 return jnp.zeros_like(q)
             dq_p = _roll(q, -1) - q  # forward difference (face i)
-            dq_m = q - _roll(q, 1)  # backward difference (face i-1)
+            dq_m = _roll(dq_p, 1)  # backward difference (face i-1) = dq_p at i-1
             s = 0.5 * (jnp.sign(dq_m) + jnp.sign(dq_p)) * jnp.minimum(jnp.abs(dq_m), jnp.abs(dq_p))
             return s * interior_f  # zero slope at boundary/ghost/pad lanes
 
@@ -316,9 +316,11 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
             sl_r = minmod_slope(rho_b[z])
             sl_u = minmod_slope(u_b)
             rL = jnp.maximum(rho_b[z] + 0.5 * sl_r, rho_floor)
-            rR = jnp.maximum(_roll(rho_b[z], -1) - 0.5 * _roll(sl_r, -1), rho_floor)
+            # roll commutes with the lane-wise arithmetic: one roll of the
+            # combined right state instead of two (round-5 op-count work)
+            rR = jnp.maximum(_roll(rho_b[z] - 0.5 * sl_r, -1), rho_floor)
             uL = u_b + 0.5 * sl_u
-            uR = _roll(u_b, -1) - 0.5 * _roll(sl_u, -1)
+            uR = _roll(u_b - 0.5 * sl_u, -1)
             mL, mR = rL * uL, rR * uR
             sL = jnp.minimum(jnp.minimum(uL - a_i, uR - a_i), 0.0)
             sR = jnp.maximum(jnp.maximum(uL + a_i, uR + a_i), 0.0)
@@ -449,25 +451,27 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
         k = 1
         # levels span the coupled interior block (identity rows beyond it)
         n_levels = max(1, int(np.ceil(np.log2(max(NC, 2)))))
-        for _ in range(n_levels):
-            valid_m = lane >= k
-            valid_p = lane < LN - k
-            # neighbor rows are normalized (b == 1); invalid rolls read as
-            # identity rows with zero coupling and zero rhs
-            am = jnp.where(valid_m, _roll(a, k), 0.0)
-            cm = jnp.where(valid_m, _roll(c, k), 0.0)
-            dm_ = jnp.where(valid_m, _roll(d, k), 0.0)
-            ap = jnp.where(valid_p, _roll(a, -k), 0.0)
-            cp = jnp.where(valid_p, _roll(c, -k), 0.0)
-            dp_ = jnp.where(valid_p, _roll(d, -k), 0.0)
+        # No lane-validity masks (round-5 op-count work): after normalization,
+        # level-l coefficients are (up to sign and b-rescaling) PRODUCTS of the
+        # original sub/sup over a contiguous 2^l-row window, and sub is exactly
+        # zero outside rows [2, NC-2] / sup outside [1, NC-3] — so any roll that
+        # wraps past a boundary, or reads an identity pad row, is multiplied by
+        # an exact 0.0. The where(valid, roll, 0) guards the round-3 kernel
+        # carried were 6 selects + 2 compares per level of dead vector work
+        # (~8% of the step's op count). Bit-identical to the masked form. The
+        # final level's a/c updates (and their rolls) are dead and skipped.
+        for lvl in range(n_levels):
+            cm = _roll(c, k)
+            ap = _roll(a, -k)
+            dm_ = _roll(d, k)
+            dp_ = _roll(d, -k)
             b_new = 1.0 - a * cm - c * ap
             d = d - a * dm_ - c * dp_
-            a = -a * am
-            c = -c * cp
             rb = 1.0 / b_new
-            a = a * rb
-            c = c * rb
             d = d * rb
+            if lvl < n_levels - 1:
+                a = -a * _roll(a, k) * rb
+                c = -c * _roll(c, -k) * rb
             k *= 2
         Te_new = d
         Te_new = jnp.where(lane == 0, Te_bc_l, Te_new)
@@ -650,6 +654,14 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
 
         # loop-invariant masks/geometry: once per K-block, not once per step
         pre = physics.loop_invariants((TB, LN), scal[3], scal[5])
+        # accumulator lane masks are loop-invariant too — Mosaic does not
+        # reliably hoist the iota-compare chains out of the fori_loop body
+        s_thrust, s_id, s_id2, s_ib0, s_mdot, s_uexit = (
+            slot(_A_THRUST), slot(_A_ID), slot(_A_ID2),
+            slot(_A_IB0), slot(_A_MDOT), slot(_A_UEXIT),
+        )
+        m_failed = lane128 == _A_FAILED
+        m_icir = lane128 == _A_ICIR
 
         def body(k, carry):
             (rho_n, nE, rho_i, mom_i, u_i, prof, sacc, icir) = carry
@@ -687,21 +699,21 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
                 new_prof.append(prof[Z + off] + w * val)
 
             contrib = (
-                slot(_A_THRUST) * (w * thrust)[:, None]
-                + slot(_A_ID) * (w * I_d)[:, None]
-                + slot(_A_ID2) * (w * I_d * I_d)[:, None]
-                + slot(_A_IB0) * (w * I_B0)[:, None]
-                + slot(_A_MDOT) * (w * mdot_ion)[:, None]
-                + slot(_A_UEXIT) * (w * u1)[:, None]
+                s_thrust * (w * thrust)[:, None]
+                + s_id * (w * I_d)[:, None]
+                + s_id2 * (w * I_d * I_d)[:, None]
+                + s_ib0 * (w * I_B0)[:, None]
+                + s_mdot * (w * mdot_ion)[:, None]
+                + s_uexit * (w * u1)[:, None]
             )
             failed_flag = 1.0 - jnp.isfinite(I_d).astype(jnp.float32)
             sacc = jnp.where(
-                lane128 == _A_FAILED,
+                m_failed,
                 jnp.maximum(sacc, failed_flag[:, None]),
                 sacc + contrib,
             )
             # circuit-filter state: persist this step's current for the next block
-            sacc = jnp.where(lane128 == _A_ICIR, I_d[:, None], sacc)
+            sacc = jnp.where(m_icir, I_d[:, None], sacc)
             if trace:
                 # full-resolution I_d(t): SET lane _A_TRACE0 + k to this step's
                 # current (overwrites the previous block's stale value)
