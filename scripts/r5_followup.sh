@@ -23,6 +23,12 @@ timeout 3600 python -u scripts/profile_kernel.py -o runs/r5/kernel_profile.json 
 echo "=== 2b. bench sanity ($(date))"
 timeout 1200 python bench.py 2>&1 | tail -3
 
+echo "=== 2c. on-hardware pallas-vs-lax parity refresh ($(date))"
+# the fused kernel changed in round 5 (op-count reduction; interpret-mode
+# bit-identical) — re-measure the on-chip parity artifact so the committed
+# gate reflects the shipping Mosaic codegen
+timeout 5400 python -u scripts/parity_tpu.py -o runs/r5/parity_tpu.json 2>&1 | tail -8
+
 echo "=== 3. group-balanced calibration ($(date))"
 mkdir -p runs/r5/mcmc_balanced
 (cd runs/r5/mcmc_balanced && timeout 7200 python -u ../../../scripts/pem_v0/mcmc.py \

@@ -1,5 +1,6 @@
 """Validate the committed on-hardware Pallas<->lax parity artifact
-(runs/r4/parity_tpu.json, produced by scripts/parity_tpu.py on the real chip).
+(produced by scripts/parity_tpu.py on the real chip; the NEWEST round's
+artifact is validated so a kernel change must re-earn its parity gate).
 
 Interpret-mode parity stays in tests/test_pallas.py; this test pins the
 *hardware* run — Mosaic codegen differences are exactly what interpret mode
@@ -10,7 +11,12 @@ from pathlib import Path
 
 import pytest
 
-ARTIFACT = Path(__file__).resolve().parents[1] / "runs" / "r4" / "parity_tpu.json"
+_RUNS = Path(__file__).resolve().parents[1] / "runs"
+_CANDIDATES = sorted(
+    (p for p in _RUNS.glob("r*/parity_tpu.json") if p.parent.name[1:].isdigit()),
+    key=lambda p: int(p.parent.name[1:]),
+)
+ARTIFACT = _CANDIDATES[-1] if _CANDIDATES else _RUNS / "r4" / "parity_tpu.json"
 
 
 @pytest.mark.skipif(not ARTIFACT.exists(), reason="hardware parity artifact not yet generated")
