@@ -81,8 +81,10 @@ _N_SCALARS = 8
 
 
 def _poly_eval(coeffs: np.ndarray, x):
-    out = jnp.zeros_like(x) + coeffs[0]
-    for c in coeffs[1:]:
+    if len(coeffs) == 1:
+        return jnp.full_like(x, coeffs[0])
+    out = coeffs[0] * x + coeffs[1]  # fold the zeros-init into the first Horner step
+    for c in coeffs[2:]:
         out = out * x + c
     return out
 
@@ -285,8 +287,12 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
         rho_n_b = jnp.where(lane == NC - 1, _roll(rho_n, 1), rho_n_b)
 
         rho_b, mom_b = [], []
+        # trace-time constant (f32 arithmetic mirrors the former jnp.sqrt chain
+        # bit-for-bit) — keeps the per-species sqrt/mul out of the Mosaic body
+        bohm_c = [float(np.float32(-cfg.mdot_bohm_fraction)
+                        * np.sqrt(np.float32(z_), dtype=np.float32)) for z_ in zq]
         for z in range(Z):
-            u_gl = jnp.minimum(u_i[z][:, 1][:, None], -cfg.mdot_bohm_fraction * jnp.sqrt(zq[z]) * u_bohm1)
+            u_gl = jnp.minimum(u_i[z][:, 1][:, None], bohm_c[z] * u_bohm1)
             r_gl = rho_i[z][:, 1][:, None]
             rb = jnp.where(lane == 0, r_gl, rho_i[z])
             rb = jnp.where(lane == NC - 1, _roll(rho_i[z], 1), rb)
