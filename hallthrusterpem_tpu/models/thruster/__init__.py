@@ -35,7 +35,9 @@ from hallthrusterpem_tpu.ops.interp import interp1d
 #: kernel port lands)
 PALLAS_SOLVE_PLUME = True
 #: whether the fused Pallas kernel implements the two-group neutral model
-PALLAS_NEUTRAL_GROUPS = False
+#: (ported round 5: fast group rides an extra state lane-block; parity vs the
+#: lax path is pinned by tests/test_pallas.py::test_two_group_kernel_matches_lax)
+PALLAS_NEUTRAL_GROUPS = True
 
 __all__ = [
     "hallthruster_jl",

@@ -111,6 +111,9 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
         raise ValueError(f"num_cells={cfg.num_cells} exceeds the {LANES}-lane kernel layout")
     LN = lanes_for(cfg)
     Z = cfg.ncharge
+    G = cfg.neutral_groups
+    if G not in (1, 2):
+        raise NotImplementedError(f"neutral_groups={G}: kernel supports 1 or 2")
     dz = cfg.dz
     dt = cfg.dt
     mi = cfg.mi
@@ -189,7 +192,7 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
         return pre
 
     def physics(rho_n, nE, rho_i, mom_i, nu_anom, omega_ce, dV, mdot_in, u_n, c_w, te_cath,
-                tan_div, rc, l_dt, i_prev, u_i_pre=None, pre=None):
+                tan_div, rc, l_dt, i_prev, u_i_pre=None, pre=None, rho_n2=None):
         if pre is None:
             pre = loop_invariants(rho_n.shape, c_w, tan_div)
         lane = pre["lane"]
@@ -204,6 +207,8 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
 
         if sanitize:
             rho_n, nE, rho_i, mom_i = sanitize_state(cfg, rho_n, nE, rho_i, mom_i)
+            if G == 2:
+                rho_n2, _, _, _ = sanitize_state(cfg, rho_n2, nE, (), ())
 
         # ---- plasma properties
         ni = [r * inv_mi for r in rho_i]
@@ -213,7 +218,22 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
         ne = jnp.maximum(ne, ne_floor)
         inv_ne = 1.0 / ne
         Te = jnp.clip((2.0 / 3.0) * nE * inv_ne, cfg.Te_min, cfg.Te_max)
-        nn = jnp.maximum(rho_n * inv_mi, 1e6)
+        if G == 2:
+            # neutral velocity-space quadrature (mirrors solver.py:205-216,320-323):
+            # group speeds are fixed ratios of u_n; ionization consumption is
+            # split by density share; the momentum-source speed is share-weighted
+            nn_g0 = rho_n * inv_mi
+            nn_g1 = rho_n2 * inv_mi
+            nn = jnp.maximum(nn_g0 + nn_g1, 1e6)
+            inv_nn = 1.0 / nn
+            share0 = nn_g0 * inv_nn
+            share1 = nn_g1 * inv_nn
+            u_g0 = cfg.slow_neutral_ratio * u_n
+            u_g1 = cfg.fast_neutral_ratio * u_n
+            u_n_src = share0 * u_g0 + share1 * u_g1
+        else:
+            nn = jnp.maximum(rho_n * inv_mi, 1e6)
+            u_n_src = u_n
         # the K-step kernel threads the previous step's post-update velocities
         # through the carry (u_i_pre) so the divide happens once per step
         if u_i_pre is None:
@@ -282,7 +302,16 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
         mom_back = jnp.zeros_like(dV)
         for z in range(Z):
             mom_back = mom_back + jnp.minimum(mom_i[z][:, 1][:, None], 0.0)
-        rho_n_l = (mdot_in / A_ch - mom_back) / u_n
+        if G == 2:
+            # injected flux split over the groups; anode-recycled ion backflow
+            # re-enters the slow group (solver.py:372-375)
+            fr = cfg.fast_neutral_fraction
+            rho_n_l = ((1.0 - fr) * (mdot_in / A_ch) - mom_back) / u_g0
+            rho_n2_l = (fr * (mdot_in / A_ch)) / u_g1
+            rho_n2_b = jnp.where(lane == 0, rho_n2_l, rho_n2)
+            rho_n2_b = jnp.where(lane == NC - 1, _roll(rho_n2, 1), rho_n2_b)
+        else:
+            rho_n_l = (mdot_in / A_ch - mom_back) / u_n
         rho_n_b = jnp.where(lane == 0, rho_n_l, rho_n)
         rho_n_b = jnp.where(lane == NC - 1, _roll(rho_n, 1), rho_n_b)
 
@@ -314,7 +343,12 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
             return s * interior_f  # zero slope at boundary/ghost/pad lanes
 
         sl_rn = minmod_slope(rho_n_b)
-        Fn = u_n * jnp.maximum(rho_n_b + 0.5 * sl_rn, rho_floor) * face_f  # upwind, u_n > 0
+        if G == 2:
+            Fn = u_g0 * jnp.maximum(rho_n_b + 0.5 * sl_rn, rho_floor) * face_f
+            sl_rn2 = minmod_slope(rho_n2_b)
+            Fn2 = u_g1 * jnp.maximum(rho_n2_b + 0.5 * sl_rn2, rho_floor) * face_f
+        else:
+            Fn = u_n * jnp.maximum(rho_n_b + 0.5 * sl_rn, rho_floor) * face_f  # upwind, u_n > 0
 
         Fr, Fm = [], []
         for z in range(Z):
@@ -345,6 +379,7 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
 
         # ---- sources: closed-form rates (log-poly in ln Te), E-force, wall losses
         d_rho_n = jnp.zeros_like(rho_n)
+        d_rho_n2 = jnp.zeros_like(rho_n) if G == 2 else None
         d_rho = [jnp.zeros_like(rho_n) for _ in range(Z)]
         d_mom = [jnp.zeros_like(rho_n) for _ in range(Z)]
         inelastic = jnp.zeros_like(rho_n)
@@ -353,10 +388,15 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
         for ri, (coeffs, z_from, z_to, energy) in enumerate(rxn_coeffs):
             k_r = jnp.exp(_poly_eval(coeffs, lnTe))
             n_from = nn if z_from == 0 else ni[z_from - 1]
-            u_from = u_n if z_from == 0 else u_i[z_from - 1]
+            u_from = u_n_src if z_from == 0 else u_i[z_from - 1]
             dm = (ne * k_r) * n_from * mi
             if z_from == 0:
-                d_rho_n = d_rho_n - dm
+                if G == 2:
+                    # consumption split over the velocity groups by density share
+                    d_rho_n = d_rho_n - dm * share0
+                    d_rho_n2 = d_rho_n2 - dm * share1
+                else:
+                    d_rho_n = d_rho_n - dm
             else:
                 d_rho[z_from - 1] = d_rho[z_from - 1] - dm
                 d_mom[z_from - 1] = d_mom[z_from - 1] - dm * u_from
@@ -392,6 +432,8 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
 
         upd = lambda base, flux, src: base + (-dt) * ddz(flux) * interior_f + dt * src * interior_f
         rho_n_new = jnp.maximum(upd(rho_n_b, Fn, d_rho_n), rho_floor)
+        if G == 2:
+            rho_n2_new = jnp.maximum(upd(rho_n2_b, Fn2, d_rho_n2), rho_floor)
         rho_new = [jnp.maximum(upd(rho_b[z], Fr[z], d_rho[z]), rho_floor) for z in range(Z)]
         mom_new = [upd(mom_b[z], Fm[z], d_mom[z]) for z in range(Z)]
 
@@ -493,9 +535,10 @@ def make_physics(cfg: SolverConfig, sanitize: bool = True):
             qs_t = jnp.ones_like(j_d)
             qs_f = qs_t
 
-        return (rho_n_new, nE_new, tuple(rho_new), tuple(mom_new)), (
-            j_d, Te, ne, E_z, nn, qs_t, qs_f,
-        )
+        state_out = (rho_n_new, nE_new, tuple(rho_new), tuple(mom_new))
+        if G == 2:
+            state_out = state_out + (rho_n2_new,)
+        return state_out, (j_d, Te, ne, E_z, nn, qs_t, qs_f)
 
     physics.loop_invariants = loop_invariants
     return physics
@@ -515,8 +558,10 @@ def sanitize_state(cfg: SolverConfig, rho_n, nE, rho_i, mom_i):
 
 
 def n_state_for(cfg: SolverConfig) -> int:
-    """Number of per-sample state arrays: rho_n, nE, (rho_i, mom_i) x Z."""
-    return 2 + 2 * cfg.ncharge
+    """Number of per-sample state arrays: rho_n, nE, (rho_i, mom_i) x Z, plus the
+    fast-group neutral density (appended LAST to keep legacy indices) when
+    ``neutral_groups == 2``."""
+    return 2 + 2 * cfg.ncharge + (cfg.neutral_groups - 1)
 
 
 #: scalar-block slots handed to make_physics, in signature order
@@ -530,6 +575,7 @@ def build_step_kernel(cfg: SolverConfig, interpret: bool = False, tile_b: int = 
     """Build ``step(state, consts) -> (state', extras)`` where arrays are
     (B, LANES) with B a multiple of ``tile_b`` — ONE timestep per kernel launch."""
     Z = cfg.ncharge
+    G = cfg.neutral_groups
     LN = lanes_for(cfg)
     TB = tile_b
     n_state = n_state_for(cfg)
@@ -545,12 +591,19 @@ def build_step_kernel(cfg: SolverConfig, interpret: bool = False, tile_b: int = 
         nE = state_refs[1][:, :]
         rho_i = tuple(state_refs[2 + 2 * z][:, :] for z in range(Z))
         mom_i = tuple(state_refs[3 + 2 * z][:, :] for z in range(Z))
+        rho_n2 = state_refs[2 + 2 * Z][:, :] if G == 2 else None
         scal = tuple(scal_ref[:, s][:, None] for s in _SCAL_SLOTS)
         i_prev = scal_ref[:, _P_ICIR][:, None]
 
-        (rho_n_new, nE_new, rho_new, mom_new), (j_d, Te, ne, E_z, nn, qs_t, qs_f) = physics(
-            rho_n, nE, rho_i, mom_i, nu_anom_ref[:, :], omega_ref[:, :], *scal, i_prev
+        state_out, (j_d, Te, ne, E_z, nn, qs_t, qs_f) = physics(
+            rho_n, nE, rho_i, mom_i, nu_anom_ref[:, :], omega_ref[:, :], *scal, i_prev,
+            rho_n2=rho_n2,
         )
+        if G == 2:
+            rho_n_new, nE_new, rho_new, mom_new, rho_n2_new = state_out
+            out_refs[2 + 2 * Z][:, :] = rho_n2_new
+        else:
+            rho_n_new, nE_new, rho_new, mom_new = state_out
 
         out_refs[0][:, :] = rho_n_new
         out_refs[1][:, :] = nE_new
@@ -576,6 +629,8 @@ def build_step_kernel(cfg: SolverConfig, interpret: bool = False, tile_b: int = 
         state_list = [state["rho_n"], state["nE"]]
         for z in range(Z):
             state_list += [state["rho_i"][z], state["mom_i"][z]]
+        if G == 2:
+            state_list.append(state["rho_n2"])
 
         n_out = n_state + 5
         out_shapes = [jax.ShapeDtypeStruct((B, LN), jnp.float32) for _ in range(n_out)]
@@ -594,6 +649,8 @@ def build_step_kernel(cfg: SolverConfig, interpret: bool = False, tile_b: int = 
             "rho_i": [outs[2 + 2 * z] for z in range(Z)],
             "mom_i": [outs[3 + 2 * z] for z in range(Z)],
         }
+        if G == 2:
+            new_state["rho_n2"] = outs[2 + 2 * Z]
         extras = {
             "j_d": outs[n_state][:, 0],
             "qs_t": outs[n_state][:, 1],
@@ -629,6 +686,7 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
     ``scal_acc`` is the packed (B, 128) scalar-accumulator block.
     """
     Z = cfg.ncharge
+    G = cfg.neutral_groups
     NC = cfg.nc
     LN = lanes_for(cfg)
     TB = tile_b
@@ -670,10 +728,15 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
         m_icir = lane128 == _A_ICIR
 
         def body(k, carry):
-            (rho_n, nE, rho_i, mom_i, u_i, prof, sacc, icir) = carry
-            (rho_n, nE, rho_i, mom_i), (j_d, Te, ne, E_z, nn, qs_t, qs_f) = physics(
-                rho_n, nE, rho_i, mom_i, nu_anom, omega, *scal, icir, u_i_pre=u_i, pre=pre
+            (rho_n, nE, rho_i, mom_i, u_i, prof, sacc, icir, rho_n2) = carry
+            state_out, (j_d, Te, ne, E_z, nn, qs_t, qs_f) = physics(
+                rho_n, nE, rho_i, mom_i, nu_anom, omega, *scal, icir, u_i_pre=u_i, pre=pre,
+                rho_n2=rho_n2,
             )
+            if G == 2:
+                rho_n, nE, rho_i, mom_i, rho_n2 = state_out
+            else:
+                rho_n, nE, rho_i, mom_i = state_out
             # post-step velocities: shared by the profile/thrust accumulators here
             # and by the next iteration's physics (single divide per step)
             u_post = tuple(mom_i[z] / jnp.maximum(rho_i[z], rho_floor) for z in range(Z))
@@ -724,7 +787,8 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
                 # full-resolution I_d(t): SET lane _A_TRACE0 + k to this step's
                 # current (overwrites the previous block's stale value)
                 sacc = jnp.where(lane128 == _A_TRACE0 + k, I_d[:, None], sacc)
-            return (rho_n, nE, rho_i, mom_i, u_post, tuple(new_prof), sacc, I_d[:, None])
+            return (rho_n, nE, rho_i, mom_i, u_post, tuple(new_prof), sacc, I_d[:, None],
+                    rho_n2)
 
         # one scrub per K-block (identity for healthy states; physics runs lean).
         # A blow-up landing on the LAST step of the previous block would be
@@ -747,6 +811,9 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
             [raw_state[2 + 2 * z] for z in range(Z)],
             [raw_state[3 + 2 * z] for z in range(Z)],
         )
+        rn2_0 = None
+        if G == 2:
+            rn2_0, _, _, _ = sanitize_state(cfg, raw_state[2 + 2 * Z], raw_state[1], (), ())
         carry0 = (
             rn0,
             nE0,
@@ -756,6 +823,7 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
             tuple(prof_refs[j][:, :] for j in range(n_prof)),
             sacc0,
             sacc0[:, _A_ICIR][:, None],
+            rn2_0,
         )
         # manual unroll (lax.fori_loop(unroll=) is not lowered in Pallas TPU):
         # amortizes the Mosaic loop-management overhead over several physics
@@ -773,13 +841,15 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
             final = jax.lax.fori_loop(0, inner_steps // unroll, body_u, carry0)
         else:
             final = jax.lax.fori_loop(0, inner_steps, body, carry0)
-        rho_n, nE, rho_i, mom_i, _u, prof, sacc, _icir = final
+        rho_n, nE, rho_i, mom_i, _u, prof, sacc, _icir, rho_n2 = final
 
         out_state[0][:, :] = rho_n
         out_state[1][:, :] = nE
         for z in range(Z):
             out_state[2 + 2 * z][:, :] = rho_i[z]
             out_state[3 + 2 * z][:, :] = mom_i[z]
+        if G == 2:
+            out_state[2 + 2 * Z][:, :] = rho_n2
         for j in range(n_prof):
             out_prof[j][:, :] = prof[j]
         out_sacc[:, :] = sacc
@@ -794,6 +864,8 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
         state_list = [state["rho_n"], state["nE"]]
         for z in range(cfg.ncharge):
             state_list += [state["rho_i"][z], state["mom_i"][z]]
+        if G == 2:
+            state_list.append(state["rho_n2"])
         inputs = [jnp.asarray(i0, jnp.int32).reshape(1, 1)] + state_list + list(prof) + [sacc] + [
             consts["nu_anom"], consts["omega_ce"], consts["scalars"]
         ]
@@ -821,6 +893,8 @@ def build_multistep_kernel(cfg: SolverConfig, inner_steps: int, interpret: bool 
             "rho_i": [outs[2 + 2 * z] for z in range(cfg.ncharge)],
             "mom_i": [outs[3 + 2 * z] for z in range(cfg.ncharge)],
         }
+        if G == 2:
+            new_state["rho_n2"] = outs[2 + 2 * cfg.ncharge]
         new_prof = list(outs[n_state : n_state + n_prof])
         new_sacc = outs[n_state + n_prof]
         return new_state, new_prof, new_sacc
@@ -999,7 +1073,14 @@ def _initial_state(params: dict, cfg: SolverConfig) -> dict:
 
     mdot_in = params["mdot_a"] + background_neutral_ingestion_flux(params["P_b"], params["f_n"], cfg)
     u_n = jnp.maximum(params["u_n"], 10.0)
-    rho_inj = (mdot_in / (cfg.geometry.channel_area * u_n))[:, None]
+    # per-group injected densities (solver.py's rho_inj_g): group speeds are fixed
+    # ratios of u_n, injected flux split by fast_neutral_fraction
+    if cfg.neutral_groups == 2:
+        fr = cfg.fast_neutral_fraction
+        rho_inj = ((1.0 - fr) * mdot_in / (cfg.geometry.channel_area * cfg.slow_neutral_ratio * u_n))[:, None]
+        rho_inj2 = (fr * mdot_in / (cfg.geometry.channel_area * cfg.fast_neutral_ratio * u_n))[:, None]
+    else:
+        rho_inj = (mdot_in / (cfg.geometry.channel_area * u_n))[:, None]
     dV = (params["V_d"] - params["V_cc"])[:, None]
 
     rho_n0 = jnp.broadcast_to(rho_inj, (B, cfg.nc))
@@ -1018,13 +1099,16 @@ def _initial_state(params: dict, cfg: SolverConfig) -> dict:
         ne0 = ne0 + (zi + 1) * r / mi
     nE0 = 1.5 * ne0 * Te0
 
-    return {
+    state = {
         "rho_n": padp(rho_n0.astype(jnp.float32)),
         "nE": padp(nE0.astype(jnp.float32)),
         "rho_i": rho_i0,
         "mom_i": mom_i0,
         "icir": (_E / mi) * params["mdot_a"],
     }
+    if cfg.neutral_groups == 2:
+        state["rho_n2"] = padp(jnp.broadcast_to(rho_inj2, (B, cfg.nc)).astype(jnp.float32))
+    return state
 
 
 def make_batch_step(cfg: SolverConfig, consts: dict, interpret: bool = False,
@@ -1072,7 +1156,10 @@ def make_batch_step(cfg: SolverConfig, consts: dict, interpret: bool = False,
         # j_d is computed, so a blow-up would otherwise never be observed here —
         # check the raw post-step state too (solver.py all-state semantics)
         state_ok = jnp.ones_like(failed)
-        for arr in [state["rho_n"], state["nE"], *state["rho_i"], *state["mom_i"]]:
+        arrs = [state["rho_n"], state["nE"], *state["rho_i"], *state["mom_i"]]
+        if cfg.neutral_groups == 2:
+            arrs.append(state["rho_n2"])
+        for arr in arrs:
             state_ok = state_ok & jnp.all(jnp.isfinite(arr), axis=1)
         failed = failed | ~state_ok
 

@@ -70,6 +70,36 @@ def test_multistep_kernel_matches_lax():
     assert not np.isnan(got["thrust"]).any()
 
 
+def test_two_group_kernel_matches_lax():
+    """Two-group neutral model in the fused K-step kernel vs the lax solver
+    (round-5 port; previously a silent 48x lax fallback)."""
+    B = TILE_B
+    nsteps = 2500
+    cfg = SolverConfig(num_cells=60, ncharge=1, neutral_groups=2, dt=8e-9,
+                       duration=nsteps * 8e-9, average_start_time=nsteps // 2 * 8e-9)
+    z = cfg.cell_centers()
+    s = np.where(z < 0.025, 0.011, 0.018)
+    base_B = jnp.asarray(0.016 * np.exp(-0.5 * ((z - 0.025) / s) ** 2), jnp.float32)
+    vd = np.linspace(285, 315, B).astype(np.float32)
+    params = make_params({"V_d": vd, "V_cc": 30.0, "mdot_a": 5e-6, "P_b": 1e-5})
+
+    ref = {k: np.asarray(v) for k, v in simulate_batch(params, base_B, cfg).items()}
+    got = {k: np.asarray(v) for k, v in simulate_batch_pallas_multi(
+        params, base_B, cfg, inner_steps=37, calls_per_dispatch=9, interpret=True).items()}
+    assert not np.isnan(got["thrust"]).any()
+    for key in ("thrust", "discharge_current", "ion_current"):
+        rel = np.max(np.abs(got[key] - ref[key]) / np.abs(ref[key]))
+        assert rel < 0.02, (key, rel)
+    # the two-group physics must actually differ from single-group (guards
+    # against the kernel silently ignoring the second group)
+    cfg1 = SolverConfig(num_cells=60, ncharge=1, neutral_groups=1, dt=8e-9,
+                        duration=nsteps * 8e-9, average_start_time=nsteps // 2 * 8e-9)
+    got1 = {k: np.asarray(v) for k, v in simulate_batch_pallas_multi(
+        params, base_B, cfg1, inner_steps=37, calls_per_dispatch=9, interpret=True).items()}
+    assert np.max(np.abs(got["discharge_current"] - got1["discharge_current"])
+                  / np.abs(got1["discharge_current"])) > 1e-3
+
+
 def test_large_tile_padding_consistency():
     """tile_b_for(B>16) pads the batch to 32 sublanes — padded rows must be
     dropped and results must match a small-tile run of the same samples."""
