@@ -131,6 +131,10 @@ def _tree_to_solver_inputs(tree: dict):
         pressure_shift=shift,
         ion_wall_losses=bool(config.get("ion_wall_losses", True)),
         solve_plume=bool(config.get("solve_plume", False)),
+        # two-group neutral velocity-space quadrature (kinetic-tail closure,
+        # docs/validation.md §two-group): supported by BOTH backends since the
+        # round-5 kernel port
+        neutral_groups=int(config.get("neutral_groups", 1)),
         apply_thrust_divergence_correction=bool(config.get("apply_thrust_divergence_correction", False)),
         # discharge-current time traces (the reference's simulation.num_save,
         # pem_v0_SPT-100.yml:101) are honored directly: the K-step Pallas kernel

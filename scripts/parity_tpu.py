@@ -68,6 +68,10 @@ CONFIGS = [
     # physicality guards and the failure-mask agreement accounting
     {"name": "quench_corner_low_a1", "V_a": 280.0, "mdot_a": 3.0e-6, "P_b": 1e-5,
      "a_1": 0.004},
+    # two-group neutral quadrature at nominal: exercises the round-5 kernel
+    # port (extra state lane-block) under real Mosaic codegen
+    {"name": "two_group_nominal", "V_a": 300.0, "mdot_a": 5.16e-6, "P_b": 1e-5,
+     "neutral_groups": 2},
 ]
 
 
@@ -103,6 +107,8 @@ def run_config(cond: dict, batch: int, seed: int, fidelity=(2, 2)) -> dict:
                        "pstar": 45.0e-6, "alpha": 15,
                        "model": {"type": "TwoZoneBohm", "c1": 0.00625, "c2": 0.0625}},
     }
+    if cond.get("neutral_groups"):
+        config["neutral_groups"] = cond["neutral_groups"]
     results = {}
     for backend in ("lax", "pallas"):
         os.environ["HTPEM_SOLVER"] = backend

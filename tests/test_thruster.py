@@ -351,3 +351,23 @@ def test_cycle_average_postprocess_key():
     assert "discharge_current_trace" in out
     i_d = np.asarray(out["discharge_current"], dtype=float)
     assert i_d.shape == () and (np.isnan(i_d) or 0 <= i_d < 120)
+
+
+def test_neutral_groups_config_surface(monkeypatch):
+    """config.neutral_groups plumbs through the wrapper into SolverConfig, and
+    since the round-5 kernel port an explicit HTPEM_SOLVER=pallas request with
+    two-group neutrals dispatches to the kernel instead of raising."""
+    from hallthrusterpem_tpu.models.thruster import _tree_to_solver_inputs, solver_backend
+
+    tree = {
+        "config": {"discharge_voltage": 300.0, "anode_mass_flow_rate": 5e-6,
+                   "ncharge": 1, "domain": [0, 0.08], "neutral_groups": 2},
+        "simulation": {"grid": {"num_cells": 60}, "dt": 1e-8, "duration": 1e-4},
+        "postprocess": {},
+    }
+    cfg, _, _ = _tree_to_solver_inputs(tree)
+    assert cfg.neutral_groups == 2
+
+    monkeypatch.setenv("HTPEM_SOLVER", "pallas")
+    backend, _chunk = solver_backend(cfg)
+    assert backend == "pallas"
