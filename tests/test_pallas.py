@@ -100,6 +100,32 @@ def test_two_group_kernel_matches_lax():
                   / np.abs(got1["discharge_current"])) > 1e-3
 
 
+def test_two_group_multicharge_step_kernel():
+    """Two-group wiring in the SINGLE-step kernel path and with ncharge=2:
+    short-horizon agreement with lax pins the state-slot layout (rho_n2 is
+    appended last) across both kernel variants."""
+    B = TILE_B
+    nsteps = 900
+    cfg = SolverConfig(num_cells=60, ncharge=2, neutral_groups=2, dt=8e-9,
+                       duration=nsteps * 8e-9, average_start_time=nsteps // 3 * 8e-9)
+    z = cfg.cell_centers()
+    s = np.where(z < 0.025, 0.011, 0.018)
+    base_B = jnp.asarray(0.016 * np.exp(-0.5 * ((z - 0.025) / s) ** 2), jnp.float32)
+    vd = np.linspace(290, 310, B).astype(np.float32)
+    params = make_params({"V_d": vd, "V_cc": 30.0, "mdot_a": 5e-6, "P_b": 1e-5})
+
+    ref = {k: np.asarray(v) for k, v in simulate_batch(params, base_B, cfg).items()}
+    one = {k: np.asarray(v) for k, v in
+           simulate_batch_pallas(params, base_B, cfg, interpret=True).items()}
+    multi = {k: np.asarray(v) for k, v in simulate_batch_pallas_multi(
+        params, base_B, cfg, inner_steps=30, calls_per_dispatch=10, interpret=True).items()}
+    for got, tol in ((one, 0.05), (multi, 0.02)):
+        assert not np.isnan(got["thrust"]).any()
+        for key in ("thrust", "discharge_current", "ion_current"):
+            rel = np.max(np.abs(got[key] - ref[key]) / np.abs(ref[key]))
+            assert rel < tol, (key, rel)
+
+
 def test_large_tile_padding_consistency():
     """tile_b_for(B>16) pads the batch to 32 sublanes — padded rows must be
     dropped and results must match a small-tile run of the same samples."""
