@@ -42,3 +42,21 @@ echo "=== 3b. balanced posterior predictive + solver verification ($(date))"
     --compare-model) 2>&1 | tee runs/r5/mc/solver_verified_balanced.txt | tail -40
 
 echo "=== follow-up queue done ($(date))"
+# STATUS.md documents the queue as NOT yet run; replace it with a completion
+# note so a late recovery leaves a truthful state for the round-end commit
+cat > runs/r5/STATUS.md <<'DONE'
+# Round-5 artifact status
+
+The on-chip follow-up queue (scripts/r5_followup.sh) RAN — see
+runs/r5/followup_run.log for the full transcript. Artifacts produced:
+
+1. runs/r5/mc/solver_verified.txt — SOLVER-verified posterior predictive
+   (64 posterior draws x 23 conditions through the full-fidelity coupled PEM).
+2. runs/r5/kernel_profile.json refresh + bench sanity + on-chip
+   pallas-vs-lax parity refresh (runs/r5/parity_tpu.json, includes the
+   two_group_nominal condition).
+3. runs/r5/mcmc_balanced/ — group-balanced (--field-weight 0.2) calibration
+   + its solver-verified predictive (runs/r5/mc/solver_verified_balanced.txt).
+
+Check followup_run.log for any leg that timed out or failed.
+DONE
