@@ -84,6 +84,25 @@ def main():
     except Exception:
         pass
 
+    # The remote device tunnel can wedge such that jax.devices() BLOCKS forever
+    # (no exception) — probe it in a daemon thread so a dead runtime fails the
+    # bench in bounded time instead of hanging the caller indefinitely.
+    import threading
+
+    probe_timeout = float(os.environ.get("BENCH_DEVICE_PROBE_TIMEOUT", "180"))
+    probed = {}
+    th = threading.Thread(target=lambda: probed.update(d=jax.devices()), daemon=True)
+    th.start()
+    th.join(probe_timeout)
+    if th.is_alive():
+        print(json.dumps({
+            "metric": "coupled_pem_sim_ms_per_sec_per_chip",
+            "value": None,
+            "unit": f"device runtime unreachable (jax.devices() gave no answer in {probe_timeout:.0f}s)",
+            "vs_baseline": None,
+        }))
+        sys.exit(1)
+
     batch = int(os.environ.get("BENCH_BATCH", "1024"))
     duration = float(os.environ.get("BENCH_DURATION", "5e-4"))
     fidelity = tuple(int(t) for t in os.environ.get("BENCH_FIDELITY", "2,2").split(","))
