@@ -125,6 +125,35 @@ def main(argv=None):
     report["I_d"]["binned_min_coverage"] = round(
         min(t["coverage_2sigma"] for t in table), 4) if table else None
 
+    # eta_c tail characterization: the one QoI over the reference's 0.10 gate
+    # (round-5). The global number is dominated by a handful of rows whose
+    # TIME-AVERAGED beam/discharge current ratio exceeds the steady-state
+    # physical bound eta_c <= 1 (ratio-of-averages decoupling under strong
+    # breathing oscillation — a label-noise mechanism, not an input-space
+    # region the surrogate could learn). Unlike the I_d validity ceiling the
+    # corpus ratio population is CONTINUOUS above 1 (no measured gap), so
+    # these rows are not remasked as failures; they are characterized here.
+    etc_t = np.asarray(yt["eta_c"], dtype=float)
+    etc_p = np.asarray(pred["eta_c"], dtype=float)
+    efin = np.isfinite(etc_t) & np.isfinite(etc_p)
+    err2 = np.square((etc_p - etc_t)[efin])
+    top10 = np.sort(err2)[-10:].sum() / max(err2.sum(), 1e-300)
+    phys = efin & (etc_t <= 1.2)  # quasi-steady band (+20% averaging margin)
+    rel_all = np.abs(etc_p - etc_t)[efin] / np.abs(etc_t)[efin]
+    report["eta_c"] = {
+        "global_rel_l2": round(float(np.linalg.norm((etc_p - etc_t)[efin]) /
+                                     np.linalg.norm(etc_t[efin])), 4),
+        "median_rel_err": round(float(np.median(rel_all)), 4),
+        "top10_sq_err_frac": round(float(top10), 3),
+        "physical_band": 1.2,
+        "physical_n": int(phys.sum()),
+        "physical_rel_l2": round(float(np.linalg.norm((etc_p - etc_t)[phys]) /
+                                       np.linalg.norm(etc_t[phys])), 4),
+        "derived_IB0_over_Id_rel_l2": round(float(np.linalg.norm(
+            (np.asarray(pred["I_B0"], dtype=float) / np.asarray(pred["I_d"], dtype=float)
+             - etc_t)[efin]) / np.linalg.norm(etc_t[efin])), 4),
+    }
+
     out_path = run_dir / args.output
     with open(out_path, "w") as fd:
         json.dump(report, fd, indent=1)
