@@ -13,7 +13,7 @@ SURR=runs/r5/surr/pem_v0_SPT-100_trained.yml
 
 echo "=== 1. solver-verified posterior predictive ($(date))"
 (cd runs/r5/mc && timeout 5400 python -u ../../../scripts/pem_v0/monte_carlo.py \
-    ../../../$SURR --data spt100 -n 64 --posterior ../mcmc/dram_chain.h5 \
+    ../../../$SURR --data spt100 -n 64 --posterior ../mcmc/chain_thin10.h5 \
     --compare-model) 2>&1 | tee runs/r5/mc/solver_verified.txt | tail -40
 
 echo "=== 2a. kernel profile ($(date))"
